@@ -1,0 +1,166 @@
+"""Host-side big-integer helpers (Python ints).
+
+This module is the *control-plane* arithmetic: modular inverses, gcds,
+primality testing, limb conversion.  It mirrors the role that ``math/big``
+plays in the reference implementation (reference: utils.go:11-69,
+safe_prime.go:61-105), while all *data-plane* (batched, hot) arithmetic
+lives on-device in :mod:`paillier_tpu.bigint.vpu` /
+:mod:`paillier_tpu.bigint.montgomery`.
+
+It also serves as the correctness oracle for the device kernels: every
+device op has a property test against these functions.
+"""
+
+from __future__ import annotations
+
+import math
+import secrets
+from typing import Iterable, Sequence
+
+import numpy as np
+
+# Limb parameters for the device representation: little-endian base-2^16
+# digits stored in uint32 lanes.  16-bit limbs keep products of two limbs
+# exact in uint32 (max (2^16-1)^2 < 2^32), which is the widest exact
+# integer multiply the TPU VPU provides.
+LIMB_BITS = 16
+LIMB_BASE = 1 << LIMB_BITS
+LIMB_MASK = LIMB_BASE - 1
+
+
+def limbs_for_bits(bits: int) -> int:
+    """Number of limbs needed to hold a ``bits``-bit integer."""
+    return max(1, (bits + LIMB_BITS - 1) // LIMB_BITS)
+
+
+def int_to_limbs(x: int, n_limbs: int) -> np.ndarray:
+    """Little-endian base-2^16 limb decomposition of ``x`` as uint32[n_limbs]."""
+    if x < 0:
+        raise ValueError("negative integers have no limb representation")
+    if x >> (LIMB_BITS * n_limbs):
+        raise ValueError(f"{x.bit_length()}-bit value does not fit in {n_limbs} limbs")
+    out = np.zeros(n_limbs, dtype=np.uint32)
+    i = 0
+    while x:
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+        i += 1
+    return out
+
+
+def limbs_to_int(limbs: Sequence[int] | np.ndarray) -> int:
+    """Inverse of :func:`int_to_limbs` (accepts unnormalized uint32 limbs)."""
+    x = 0
+    arr = np.asarray(limbs, dtype=np.uint64)
+    for i in range(arr.shape[0] - 1, -1, -1):
+        x = (x << LIMB_BITS) + int(arr[i])
+    return x
+
+
+def ints_to_limbs(xs: Iterable[int], n_limbs: int) -> np.ndarray:
+    """Batch of ints -> uint32[batch, n_limbs]."""
+    xs = list(xs)
+    out = np.zeros((len(xs), n_limbs), dtype=np.uint32)
+    for b, x in enumerate(xs):
+        out[b] = int_to_limbs(x, n_limbs)
+    return out
+
+
+def limbs_to_ints(arr: np.ndarray) -> list[int]:
+    """uint32[batch, n_limbs] -> list of ints."""
+    arr = np.asarray(arr)
+    return [limbs_to_int(arr[b]) for b in range(arr.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# Modular arithmetic helpers (control plane)
+# ---------------------------------------------------------------------------
+
+def modinv(a: int, n: int) -> int:
+    """Multiplicative inverse of a mod n.  Raises ValueError if not invertible."""
+    return pow(a, -1, n)
+
+
+def gcd(a: int, b: int) -> int:
+    return math.gcd(a, b)
+
+
+def mont_n0_inv(n: int) -> int:
+    """-n^{-1} mod 2^LIMB_BITS (the Montgomery n0' constant)."""
+    return (-pow(n, -1, LIMB_BASE)) % LIMB_BASE
+
+
+def mont_nprime(n: int, n_limbs: int) -> int:
+    """-n^{-1} mod R with R = 2^(LIMB_BITS * n_limbs) (for SOS reduction)."""
+    r = 1 << (LIMB_BITS * n_limbs)
+    return (-pow(n, -1, r)) % r
+
+
+def hensel_inverse(n: int, n_limbs: int) -> int:
+    """n^{-1} mod 2^(LIMB_BITS*n_limbs), for exact division by odd n on device."""
+    return pow(n, -1, 1 << (LIMB_BITS * n_limbs))
+
+
+# ---------------------------------------------------------------------------
+# Primality (host control plane; hot candidate filtering can be batched on
+# device via modexp kernels — see paillier_tpu.core.keygen)
+# ---------------------------------------------------------------------------
+
+_SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+                 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113]
+
+
+def is_probable_prime(n: int, rounds: int = 30) -> bool:
+    """Miller-Rabin with random witnesses (reference: safe_prime.go:256 uses
+    Go's ProbablyPrime(20) = Miller-Rabin + Baillie-PSW)."""
+    if n < 2:
+        return False
+    for p in _SMALL_PRIMES:
+        if n == p:
+            return True
+        if n % p == 0:
+            return False
+    d = n - 1
+    s = 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for _ in range(rounds):
+        a = 2 + secrets.randbelow(n - 3)
+        x = pow(a, d, n)
+        if x == 1 or x == n - 1:
+            continue
+        for _ in range(s - 1):
+            x = (x * x) % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def random_prime(bits: int, *, congruent_3_mod_4: bool = False,
+                 rng=None) -> int:
+    """Random prime of exactly ``bits`` bits (top bit set).
+
+    With ``congruent_3_mod_4`` the prime is ≡ 3 (mod 4), as required by the
+    reference key generator (reference: paillier.go:131-137).  The top two
+    bits are set so products of two such primes have full bit length (the
+    same convention as Go's rand.Prime used by the reference).
+    """
+    randbits = rng.getrandbits if rng is not None else secrets.randbits
+    while True:
+        cand = randbits(bits) | (1 << (bits - 1)) | (1 << (bits - 2)) | 1
+        if congruent_3_mod_4:
+            cand |= 2  # ensure cand % 4 == 3
+        if cand.bit_length() != bits:
+            continue
+        if congruent_3_mod_4 and cand % 4 != 3:
+            continue
+        if is_probable_prime(cand):
+            return cand
+
+
+def factorial(n: int) -> int:
+    """n! (reference: utils.go:17-23)."""
+    return math.factorial(n)

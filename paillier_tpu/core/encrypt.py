@@ -1,0 +1,182 @@
+"""Batched encryption (reference: paillier.go:185-289).
+
+Regular encryption:      c = G^m * r^(n^s)    mod n^(s+1)   (G = n+1)
+Alternative encryption:  c = G^m * h_s^r      mod n^(s+1),  r < K
+Nested encryption:       Enc_2(Enc_1(m).c)
+
+TPU-first design choices:
+* G^m uses the binomial identity (1+n)^m = 1 + m n (+ C(m,2) n^2) mod
+  n^(s+1) — two limb multiplies instead of a full modexp.  The reference
+  does the full modexp (paillier.go:213); outputs are bit-identical.
+* r^(n^s) is a fixed-window Montgomery ladder with the *shared* exponent
+  n^s (one compiled scan, batch in lanes).
+* h_s^r uses a batch-shared power table of the fixed base h_s with
+  per-element short exponents r < K = 2^(secparam/2)
+  (reference: paillier.go:221-238).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint import host, vpu
+from ..bigint import montgomery as mont
+from ..ops import random as prand
+from .keys import (ALTERNATIVE, DEFAULT_LEVEL, LEVEL_ONE, LEVEL_TWO, MIXED,
+                   REGULAR, Ciphertext, DeviceKey, PublicKey, decode_batch,
+                   encode_batch)
+
+
+# ---------------------------------------------------------------------------
+# G^m via the binomial shortcut (device)
+# ---------------------------------------------------------------------------
+
+def gm_binomial(dk: DeviceKey, m: jnp.ndarray, level: int) -> jnp.ndarray:
+    """(1+n)^m mod n^(s+1) for plaintext m < n^s.
+
+    Level 1: 1 + m*n (exact, < n^2 — no reduction needed).
+    Level 2: 1 + m*n + C(m,2)*n^2 mod n^3, with C(m,2) taken mod n.
+    """
+    L = dk.L
+    if level == LEVEL_ONE:
+        # m: [..., L] < n ; c = 1 + m*n at width 2L
+        t = vpu.mul(m, dk.ctx_n.n, 2 * L)
+        c, _ = vpu.add(t, jnp.zeros_like(t).at[..., 0].set(1))
+        return c
+    # level 2: m: [..., 2L] < n^2
+    t1 = vpu.mul(m, dk.ctx_n.n, 3 * L)                       # m*n < n^3
+    mr = mont.mod_wide(dk.ctx_n, m)                          # m mod n [..., L]
+    one = jnp.zeros_like(mr).at[..., 0].set(1)
+    mr_minus, borrow = vpu.sub(mr, one)                      # (m-1) mod n
+    mr_minus = jnp.where(borrow[..., None] != 0,
+                         vpu.sub(dk.ctx_n.n + jnp.zeros_like(mr), one)[0],
+                         mr_minus)
+    inv2 = jnp.broadcast_to(dk.inv2_n, mr.shape)
+    b2 = mont.modmul(dk.ctx_n, mont.modmul(dk.ctx_n, mr, mr_minus), inv2)
+    t2 = vpu.mul(b2, dk.ctx_n2.n, 3 * L)                     # C(m,2)*n^2 < n^3
+    s12, c12 = vpu.add(t1, t2)
+    s12 = jnp.concatenate([s12, c12[..., None]], axis=-1)    # width 3L+1
+    one3 = jnp.zeros_like(s12).at[..., 0].set(1)
+    c, _ = vpu.add(s12, one3)
+    n3_pad = jnp.pad(jnp.broadcast_to(dk.ctx_n3.n, c.shape[:-1] + (3 * L,)),
+                     [(0, 0)] * (c.ndim - 1) + [(0, 1)])
+    return vpu.cond_sub(c, n3_pad)[..., :3 * L]
+
+
+# ---------------------------------------------------------------------------
+# Functional kernels
+# ---------------------------------------------------------------------------
+
+def encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray, r: jnp.ndarray,
+                          level: int, ns_digits: jnp.ndarray,
+                          window: int = 4) -> jnp.ndarray:
+    """c = G^m * r^(n^s) mod n^(s+1); m [..., sL], r [..., (s+1)L] padded."""
+    ctx = dk.ctx_for_level(level)
+    gm = gm_binomial(dk, m, level)
+    rn = mont.mont_pow_digits(ctx, r, ns_digits, window)
+    return mont.modmul(ctx, gm, rn)
+
+
+def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
+                              r_digits: jnp.ndarray, level: int,
+                              window: int = 4) -> jnp.ndarray:
+    """c = G^m * h_s^r mod n^(s+1) with per-element short exponents r < K."""
+    ctx = dk.ctx_for_level(level)
+    gm = gm_binomial(dk, m, level)
+    hs = dk.hs_for_level(level)
+    hr = mont.mont_pow_fixed_base(ctx, hs, r_digits, window)
+    return mont.modmul(ctx, gm, hr)
+
+
+# ---------------------------------------------------------------------------
+# User-facing encryptor
+# ---------------------------------------------------------------------------
+
+class Encryptor:
+    """Batched, jitted encryption for one public key.
+
+    ``method`` is "regular" (r^(n^s), reference paillier.go:206-218) or
+    "alternative" (h_s^r with short randomness, paillier.go:221-238).
+    """
+
+    def __init__(self, pk: PublicKey, level: int = DEFAULT_LEVEL,
+                 method: str = REGULAR, window: int = 4, rng=None):
+        self.pk = pk
+        self.dk = pk.device()
+        self.level = level
+        self.method = method
+        self.window = window
+        self.rng = rng or prand.make_rng()
+        s = 1 if level == LEVEL_ONE else 2
+        self.s = s
+        self.m_limbs = s * self.dk.L
+        self.c_limbs = (s + 1) * self.dk.L
+        cache_key = ("enc", method, level, window)
+        if method == REGULAR:
+            if cache_key not in self.dk.jit_cache:
+                ns = pk.n ** s
+                nd = mont.n_digits_for_bits(ns.bit_length(), window)
+                ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))
+                self.dk.jit_cache[cache_key] = jax.jit(
+                    lambda m, r: encrypt_with_r_kernel(
+                        self.dk, m, r, level, ns_digits, window))
+            self._fn = self.dk.jit_cache[cache_key]
+        elif method == ALTERNATIVE:
+            self._r_bits = pk.k.bit_length() - 1  # r < K = 2^(secparam/2)
+            if cache_key not in self.dk.jit_cache:
+                self.dk.hs_for_level(level)  # materialize before tracing
+                self.dk.jit_cache[cache_key] = jax.jit(
+                    lambda m, rd: alt_encrypt_with_r_kernel(
+                        self.dk, m, rd, level, window))
+            self._fn = self.dk.jit_cache[cache_key]
+        else:
+            raise ValueError(f"unknown encryption method {method!r}")
+
+    # -- randomness -------------------------------------------------------
+    def sample_r(self, count: int) -> list[int]:
+        return prand.random_units(self.pk.n, count, self.rng)
+
+    # -- encryption -------------------------------------------------------
+    def encrypt(self, ms: Sequence[int] | jnp.ndarray,
+                rs: Optional[Sequence[int]] = None) -> Ciphertext:
+        """Encrypt a batch of plaintexts (ints < n^s, or a limb tensor)."""
+        if isinstance(ms, (list, tuple)):
+            m = encode_batch(ms, self.m_limbs)
+            count = len(ms)
+        else:
+            m = jnp.asarray(ms)
+            count = int(np.prod(m.shape[:-1])) if m.ndim > 1 else 1
+        if rs is None:
+            rs = self.sample_r(count)
+        if self.method == REGULAR:
+            r = encode_batch(rs, self.c_limbs).reshape(m.shape[:-1]
+                                                       + (self.c_limbs,))
+            c = self._fn(m, r)
+        else:
+            nd = mont.n_digits_for_bits(self._r_bits, self.window)
+            rd = np.stack([mont.exp_digits(ri % self.pk.k, self.window, nd)
+                           for ri in rs]).reshape(m.shape[:-1] + (nd,))
+            c = self._fn(m, jnp.asarray(rd))
+        return Ciphertext(c=c, level=self.level,
+                          method=REGULAR if self.method == REGULAR
+                          else ALTERNATIVE)
+
+    def encrypt_zeros(self, count: int) -> Ciphertext:
+        return self.encrypt([0] * count)
+
+    def encrypt_ones(self, count: int) -> Ciphertext:
+        return self.encrypt([1] * count)
+
+
+def nested_encrypt(pk: PublicKey, ms: Sequence[int], rng=None,
+                   window: int = 4) -> Ciphertext:
+    """Enc_2(Enc_1(m).c) (reference: paillier.go:200-203)."""
+    e1 = Encryptor(pk, LEVEL_ONE, REGULAR, window, rng)
+    e2 = Encryptor(pk, LEVEL_TWO, REGULAR, window, rng)
+    inner = e1.encrypt(list(ms))
+    inner_vals = decode_batch(inner.c)
+    return e2.encrypt(inner_vals)
