@@ -1,0 +1,148 @@
+"""Threshold (share) decryption and combining (reference:
+thresholdkey.go:63-221).
+
+Per-server partial decryption c_i = c^(2*delta*s_i) mod n^2 is a batched
+device modexp with a shared exponent.  Combining is the reference's
+Lagrange-weighted product c' = prod_i c_i^(2*lambda_i) mod n^2 — here the
+per-share powers run batched on device, positive- and negative-exponent
+contributions accumulate into separate products, and a single batched
+inverse merges them (one inverse per ciphertext instead of one per
+share).  m = (4 delta^2)^{-1} * L(c') mod n.
+
+Integer-division semantics in the Lagrange weights follow Go's Euclidean
+big.Int.Div exactly (go_div) so weights agree bit-for-bit with the
+reference (thresholdkey.go:91-107).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint import host, vpu
+from ..bigint import montgomery as mont
+from ..core.keys import Ciphertext, decode_batch, encode_batch
+from .keys import PartialDecryption, ThresholdPublicKey, ThresholdSecretKey
+
+
+def go_div(a: int, b: int) -> int:
+    """Go big.Int.Div: Euclidean division (remainder in [0, |b|))."""
+    q, r = divmod(a, b)
+    if r < 0:
+        q += 1
+    return q
+
+
+@dataclass
+class PartialDecryptionBatch:
+    """A batch of partial decryptions from one server."""
+
+    id: int
+    c: jax.Array      # uint32[..., 2L]
+
+
+# ---------------------------------------------------------------------------
+# Partial decryption
+# ---------------------------------------------------------------------------
+
+def partial_decrypt(tsk: ThresholdSecretKey, ct: Ciphertext,
+                    window: int = 4) -> PartialDecryptionBatch:
+    """c_i = c^(2*delta*share) mod n^2 (thresholdkey.go:192-201), batched
+    over the ciphertexts."""
+    dk = tsk.device()
+    exp = 2 * tsk.delta * tsk.share
+    out = mont.mont_pow(dk.ctx_n2, ct.c, exp, window)
+    return PartialDecryptionBatch(id=tsk.id, c=out)
+
+
+def partial_decrypt_int(tsk: ThresholdSecretKey, c: int) -> PartialDecryption:
+    """Single-value host variant (parity with thresholdkey_test.go:58-74)."""
+    exp = 2 * tsk.delta * tsk.share
+    return PartialDecryption(id=tsk.id, decryption=pow(c, exp, tsk.n2))
+
+
+# ---------------------------------------------------------------------------
+# Combining
+# ---------------------------------------------------------------------------
+
+def verify_partial_decryptions(tpk: ThresholdPublicKey,
+                               shares: Sequence) -> None:
+    """Threshold/duplicate validation (thresholdkey.go:77-89)."""
+    if len(shares) < tpk.t:
+        raise ValueError("Threshold not meet")
+    ids = {s.id for s in shares}
+    if len(ids) != len(shares):
+        raise ValueError("two shares has been created by the same server")
+
+
+def compute_lambda(tpk: ThresholdPublicKey, share_id: int,
+                   ids: Sequence[int]) -> int:
+    """Lagrange weight, replicating the reference's incremental
+    integer-division order exactly (thresholdkey.go:91-107)."""
+    lam = tpk.delta
+    for other in ids:
+        if other != share_id:
+            lam = go_div(lam * (-other), share_id - other)
+    return lam
+
+
+def combine(tpk: ThresholdPublicKey,
+            shares: Sequence[PartialDecryptionBatch],
+            window: int = 4) -> List[int]:
+    """Merge partial decryptions into plaintexts
+    (thresholdkey.go:149-161), batched over ciphertexts."""
+    verify_partial_decryptions(tpk, shares)
+    dk = tpk.device()
+    ctx = dk.ctx_n2
+    L = dk.L
+    ids = [s.id for s in shares]
+
+    batch_shape = shares[0].c.shape[:-1]
+    one = jnp.zeros(batch_shape + (2 * L,), jnp.uint32).at[..., 0].set(1)
+    pos = one
+    neg = one
+    for s in shares:
+        lam2 = 2 * compute_lambda(tpk, s.id, ids)
+        if lam2 == 0:
+            continue
+        powed = mont.mont_pow(ctx, s.c, abs(lam2), window)
+        if lam2 > 0:
+            pos = mont.modmul(ctx, pos, powed)
+        else:
+            neg = mont.modmul(ctx, neg, powed)
+
+    # c' = pos * neg^{-1} mod n^2 — one batched inverse via host xgcd
+    neg_vals = decode_batch(neg.reshape((-1, 2 * L)))
+    inv_vals = [pow(v, -1, tpk.n2) for v in neg_vals]
+    neg_inv = encode_batch(inv_vals, 2 * L).reshape(neg.shape)
+    cprime = mont.modmul(ctx, pos, neg_inv)
+
+    # m = combineSharesConstant * L(c') mod n (thresholdkey.go:143-146)
+    onew = jnp.zeros_like(cprime).at[..., 0].set(1)
+    um1, _ = vpu.sub(cprime, onew)
+    lval = mont.exact_div(um1, dk.n_hensel_2L, 2 * L)[..., :L]
+    const = jnp.asarray(host.int_to_limbs(tpk.combine_shares_constant, L))
+    m = mont.modmul(dk.ctx_n, lval, jnp.broadcast_to(const, lval.shape))
+    return decode_batch(m.reshape((-1, L)))
+
+
+def combine_ints(tpk: ThresholdPublicKey,
+                 shares: Sequence[PartialDecryption]) -> int:
+    """Host-int combining for single values (parity with
+    thresholdkey_test.go:267-281)."""
+    verify_partial_decryptions(tpk, shares)
+    ids = [s.id for s in shares]
+    cprime = 1
+    for s in shares:
+        lam2 = 2 * compute_lambda(tpk, s.id, ids)
+        if lam2 >= 0:
+            cprime = (cprime * pow(s.decryption, lam2, tpk.n2)) % tpk.n2
+        else:
+            cprime = (cprime * pow(pow(s.decryption, -lam2, tpk.n2), -1,
+                                   tpk.n2)) % tpk.n2
+    lval = (cprime - 1) // tpk.n
+    return (tpk.combine_shares_constant * lval) % tpk.n

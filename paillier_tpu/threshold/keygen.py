@@ -1,0 +1,114 @@
+"""Threshold key generation (reference: thresholdkey_generator.go:19-278).
+
+Two safe-prime pairs p = 2p1+1, q = 2q1+1; n = pq, m = p1q1;
+d == 1 (mod n), d == 0 (mod m) via CRT; a random degree-(t-1) Shamir
+polynomial over Z_nm with a0 = d; share_i = f(i+1) mod nm; verification
+keys v_i = v^(delta * s_i) mod n^2.
+
+Control-plane steps (primes, polynomial, shares) run on host; the l
+verification-key modexps are batched on device with per-element exponent
+digits — the TPU replacement for the reference's sequential loop
+(thresholdkey_generator.go:246-254).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint import host
+from ..bigint import montgomery as mont
+from ..ops import random as prand
+from .keys import ThresholdSecretKey
+from .safe_prime import generate_safe_prime
+
+
+@dataclass
+class ThresholdKeyGenerator:
+    bits: int
+    l: int                      # total number of decryption servers
+    t: int                      # threshold
+    rng: object = None
+    timeout: float = 120.0
+    device_verification_keys: bool = True
+
+    def __post_init__(self):
+        # validation mirrors NewThresholdKeyGenerator
+        # (thresholdkey_generator.go:62-86)
+        if self.bits % 2 == 1:
+            raise ValueError("Public key bit length must be an even number")
+        if self.bits < 18:
+            raise ValueError("Public key bit length must be at least 18 bits")
+        self.rng = self.rng or prand.make_rng()
+
+    # -- numeric setup ----------------------------------------------------
+    def _init_ps_and_qs(self):
+        while True:
+            p, p1 = generate_safe_prime(self.bits // 2, self.timeout, self.rng)
+            q, q1 = generate_safe_prime(self.bits // 2, self.timeout, self.rng)
+            # distinctness retry (thresholdkey_generator.go:120-144)
+            if p != q and p != q1 and p1 != q:
+                return p, p1, q, q1
+
+    def generate(self) -> List[ThresholdSecretKey]:
+        p, p1, q, q1 = self._init_ps_and_qs()
+        n = p * q
+        m = p1 * q1
+        nm = n * m
+        n2 = n * n
+        # d = 1 mod n, 0 mod m (thresholdkey_generator.go:177-180)
+        d = (pow(m, -1, n) * m) % (nm)
+        # v: QR generator of Z_{n^2} (thresholdkey_generator.go:147-151)
+        v = prand.random_qr_generator(n2, self.rng)
+
+        # hiding polynomial, a0 = d (thresholdkey_generator.go:197-209)
+        coeffs = [d] + [self.rng.randrange(nm) for _ in range(self.t - 1)]
+
+        # share_i = f(i+1) mod nm (thresholdkey_generator.go:213-231)
+        shares = []
+        for i in range(self.l):
+            x = i + 1
+            acc = 0
+            for j, a in enumerate(coeffs):
+                acc += a * pow(x, j)
+            shares.append(acc % nm)
+
+        delta = host.factorial(self.l)
+        vi = self._verification_keys(v, shares, delta, n2)
+
+        keys = []
+        for i in range(self.l):
+            keys.append(ThresholdSecretKey(
+                n=n, g=n + 1, h=0, k=0, bits=self.bits,
+                l=self.l, t=self.t, v=v, vi=tuple(vi),
+                id=i + 1, share=shares[i]))
+        return keys
+
+    def _verification_keys(self, v: int, shares: List[int], delta: int,
+                           n2: int) -> List[int]:
+        """v_i = v^(delta * s_i) mod n^2, batched on device
+        (thresholdkey_generator.go:246-254)."""
+        exps = [delta * s for s in shares]
+        if not self.device_verification_keys:
+            return [pow(v, e, n2) for e in exps]
+        ctx = mont.make_mont_ctx(n2)
+        L = ctx.n_limbs
+        window = 4
+        bits = max(e.bit_length() for e in exps) or 1
+        nd = mont.n_digits_for_bits(bits, window)
+        digits = jnp.asarray(np.stack(
+            [mont.exp_digits(e, window, nd) for e in exps]))
+        base = jnp.asarray(host.int_to_limbs(v, L))
+        out = mont.mont_pow_fixed_base(ctx, base, digits, window)
+        return host.limbs_to_ints(np.asarray(out))
+
+
+def generate_threshold_keys(bits: int, l: int, t: int, rng=None,
+                            timeout: float = 120.0
+                            ) -> List[ThresholdSecretKey]:
+    """Convenience wrapper (reference: GenerateKeys,
+    thresholdkey_generator.go:47-55)."""
+    return ThresholdKeyGenerator(bits, l, t, rng, timeout).generate()

@@ -1,0 +1,71 @@
+"""DDLEQ completeness + soundness tests (reference: ddleq_test.go:9-72)."""
+
+import random
+
+import pytest
+
+from paillier_tpu.core import homomorphic as hom
+from paillier_tpu.core.encrypt import nested_encrypt
+from paillier_tpu.core.keygen import keygen
+from paillier_tpu.ops.oracle import go_bytes, oracle_bit, oracle_digest
+from paillier_tpu.zk.ddleq import DDLEQProof, prove, verify
+
+SECPAR = 8
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    sk, pk = keygen(128, rng)
+    ms = [rng.randrange(pk.n) for _ in range(3)]
+    ct1 = nested_encrypt(pk, ms, rng)
+    ct2, a_l, b_l = hom.nested_randomize(pk, ct1, rng)
+    return sk, pk, ct1, ct2, a_l, b_l
+
+
+class TestOracle:
+    def test_go_bytes(self):
+        assert go_bytes(0) == b""
+        assert go_bytes(1) == b"\x01"
+        assert go_bytes(256) == b"\x01\x00"
+
+    def test_skip_first_quirk(self):
+        # random_oracle.go:24-26: first argument is skipped
+        assert oracle_digest(1, 2, 3) == oracle_digest(999, 2, 3)
+        assert oracle_digest(1, 2, 3) != oracle_digest(1, 3, 2)
+
+    def test_bit_is_parity_of_digest(self):
+        d = int.from_bytes(oracle_digest(0, 5, 7), "big")
+        assert oracle_bit(0, 5, 7) == (d % 2 == 1)
+
+
+class TestDdleq:
+    def test_completeness(self, setup, rng):
+        # ddleq_test.go:9-52
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
+        assert proof.secpar == SECPAR
+        assert verify(pk, ct1, ct2, proof) == [True] * 3
+
+    def test_soundness_fresh_ciphertext(self, setup, rng):
+        # ddleq_test.go:54-72: proof must not verify against an unrelated
+        # nested ciphertext
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
+        ms = [rng.randrange(pk.n) for _ in range(3)]
+        ct3 = nested_encrypt(pk, ms, rng)
+        results = verify(pk, ct1, ct3, proof)
+        assert not any(results)
+
+    def test_tampered_instance_rejected(self, setup, rng):
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
+        proof.f[0][0] = (proof.f[0][0] + 1) % pk.n3
+        results = verify(pk, ct1, ct2, proof)
+        assert results[0] is False or results[0] == False  # noqa: E712
+        assert all(results[1:])
+
+    def test_wrong_inputs_raise(self, setup, rng):
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        bad_a = [a + 1 for a in a_l]
+        with pytest.raises(ValueError):
+            prove(sk, ct1, ct2, bad_a, b_l, SECPAR, rng)
