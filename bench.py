@@ -1,0 +1,178 @@
+"""Benchmark driver.  Prints ONE JSON line with the headline metric:
+2048-bit Paillier encryptions/sec/chip (BASELINE target: 100,000).
+
+Runs on whatever backend the ambient environment provides (the real TPU
+chip under the driver).  Extra configs via argv:
+
+    python bench.py            # headline: 2048-bit batched encryption
+    python bench.py all        # every BASELINE config, one JSON line each
+    python bench.py enc2048 dec2048 agg threshold ddleq enc1024
+"""
+
+import json
+import random
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time(fn, *args, warmup=1, iters=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _key(bits, seed=0xBE7C):
+    from paillier_tpu.core.keygen import keygen
+    rng = random.Random(seed)
+    t0 = time.perf_counter()
+    sk, pk = keygen(bits, rng)
+    print(f"# keygen({bits}) took {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    return sk, pk, rng
+
+
+def bench_encrypt(bits=2048, batch=4096, window=5):
+    from paillier_tpu.bigint import montgomery as mont
+    from paillier_tpu.core.encrypt import encrypt_with_r_kernel
+    from paillier_tpu.core.keys import LEVEL_ONE, encode_batch
+    sk, pk, rng = _key(bits)
+    dk = pk.device()
+    nd = mont.n_digits_for_bits(pk.n.bit_length(), window)
+    ns_digits = jnp.asarray(mont.exp_digits(pk.n, window, nd))
+    ms = [rng.randrange(pk.n) for _ in range(batch)]
+    rs = [rng.randrange(2, pk.n) for _ in range(batch)]
+    m = encode_batch(ms, dk.L)
+    r = encode_batch(rs, 2 * dk.L)
+    fn = jax.jit(lambda m, r: encrypt_with_r_kernel(
+        dk, m, r, LEVEL_ONE, ns_digits, window))
+    t = _time(fn, m, r)
+    return batch / t
+
+
+def bench_decrypt_crt(bits=2048, batch=4096, window=5):
+    from paillier_tpu.core.decrypt import Decryptor
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE
+    sk, pk, rng = _key(bits)
+    enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng)
+    ms = [rng.randrange(pk.n) for _ in range(batch)]
+    ct = enc.encrypt(ms)
+    dec = Decryptor(sk, LEVEL_ONE, crt=True, window=window)
+    t = _time(dec._fn, ct.c)
+    return batch / t
+
+
+def bench_aggregate(bits=2048, batch=1 << 20, window=4):
+    """1M-ciphertext homomorphic aggregation (config #3).  Synthesizes the
+    big batch by tiling a smaller encrypted batch (aggregation cost does
+    not depend on ciphertext values)."""
+    from paillier_tpu.core import homomorphic as hom
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE, Ciphertext
+    sk, pk, rng = _key(bits)
+    enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng)
+    small = enc.encrypt([rng.randrange(pk.n) for _ in range(1024)])
+    big = jnp.tile(small.c, (batch // 1024, 1))
+    ct = Ciphertext(c=big, level=LEVEL_ONE)
+    t = _time(lambda c: hom.aggregate(
+        pk, Ciphertext(c=c, level=LEVEL_ONE), axis=0).c, big,
+        warmup=1, iters=2)
+    return batch / t
+
+
+def bench_threshold(bits=2048, batch=4096, l=5, t_=3, window=5):
+    """(3,5)-threshold: batched partial decryption + combination."""
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE
+    from paillier_tpu.threshold.decrypt import combine, partial_decrypt
+    from paillier_tpu.threshold.keygen import generate_threshold_keys
+    rng = random.Random(0x7357)
+    t0 = time.perf_counter()
+    keys = generate_threshold_keys(bits, l, t_, rng)
+    print(f"# threshold keygen({bits}) took {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    tpk = keys[0].public()
+    enc = Encryptor(tpk, LEVEL_ONE, window=window, rng=rng)
+    ms = [rng.randrange(tpk.n) for _ in range(batch)]
+    ct = enc.encrypt(ms)
+
+    def flow():
+        shares = [partial_decrypt(keys[i], ct, window) for i in range(t_)]
+        return combine(tpk, shares, window)
+
+    # combine includes host-side inverses; time the full flow
+    flow()
+    t0 = time.perf_counter()
+    out = flow()
+    dt = time.perf_counter() - t0
+    assert out == ms
+    return batch / dt
+
+
+def bench_ddleq(bits=2048, proofs=64, secpar=40, window=5):
+    """Batched DDLEQ prove+verify throughput (config #5 single-host;
+    reported as proofs/sec for prove+verify together)."""
+    from paillier_tpu.core import homomorphic as hom
+    from paillier_tpu.core.encrypt import nested_encrypt
+    from paillier_tpu.zk.ddleq import prove, verify
+    sk, pk, rng = _key(bits)
+    ms = [rng.randrange(pk.n) for _ in range(proofs)]
+    ct1 = nested_encrypt(pk, ms, rng)
+    ct2, a_l, b_l = hom.nested_randomize(pk, ct1, rng)
+    t0 = time.perf_counter()
+    proof = prove(sk, ct1, ct2, a_l, b_l, secpar, rng, window)
+    ok = verify(pk, ct1, ct2, proof, window)
+    dt = time.perf_counter() - t0
+    assert all(ok)
+    return proofs / dt
+
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 4),
+    }))
+
+
+def main():
+    args = sys.argv[1:] or ["enc2048"]
+    if args == ["all"]:
+        args = ["enc2048", "enc1024", "dec2048", "agg", "threshold", "ddleq"]
+    for a in args:
+        if a == "enc2048":
+            v = bench_encrypt(2048)
+            emit("2048-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
+        elif a == "enc1024":
+            v = bench_encrypt(1024)
+            emit("1024-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
+        elif a == "dec2048":
+            v = bench_decrypt_crt(2048)
+            emit("2048-bit CRT decryptions/sec/chip", v, "dec/s", 100_000)
+        elif a == "agg":
+            v = bench_aggregate(2048)
+            emit("2048-bit homomorphic adds/sec (1M aggregate)", v,
+                 "adds/s", 1_000_000)
+        elif a == "threshold":
+            v = bench_threshold(2048)
+            emit("2048-bit (3,5)-threshold decryptions/sec", v, "dec/s",
+                 100_000)
+        elif a == "ddleq":
+            v = bench_ddleq(2048)
+            emit("2048-bit DDLEQ prove+verify/sec (secpar=40)", v,
+                 "proofs/s", 1_000)
+        else:
+            print(f"unknown bench {a!r}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

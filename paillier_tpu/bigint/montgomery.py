@@ -171,7 +171,11 @@ def mont_pow_digits(ctx: MontCtx, base: jnp.ndarray, digits: jnp.ndarray,
             t = jnp.take(tbl, d, axis=0)
         return mont_mul(ctx, acc, t), None
 
-    acc0 = jnp.broadcast_to(ctx.one_m, bm.shape)
+    # tie the carry init to the data so varying-axis types match the scan
+    # body output under shard_map
+    acc0 = jnp.broadcast_to(ctx.one_m, bm.shape) + bm * jnp.uint32(0)
+    if per_element:
+        acc0 = acc0 + (digits[..., :1] * 0).astype(jnp.uint32)
     scan_digits = jnp.moveaxis(digits, -1, 0) if per_element else digits
     acc, _ = lax.scan(body, acc0, scan_digits)
     return from_mont(ctx, acc)
@@ -212,7 +216,8 @@ def mont_pow_fixed_base(ctx: MontCtx, base_1d: jnp.ndarray,
         t = jnp.take(tbl, d, axis=0)        # [..., L]
         return mont_mul(ctx, acc, t), None
 
-    acc0 = jnp.broadcast_to(ctx.one_m, batch_shape + (L,))
+    acc0 = (jnp.broadcast_to(ctx.one_m, batch_shape + (L,))
+            + (digits[..., :1] * 0).astype(jnp.uint32))
     acc, _ = lax.scan(body, acc0, jnp.moveaxis(digits, -1, 0))
     return from_mont(ctx, acc)
 

@@ -153,8 +153,11 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, out_len: int) -> jnp.ndarray:
     Lb = min(b.shape[-1], out_len)
     b = b[..., :Lb]
     batch_shape = a.shape[:-1]
-    acc = jnp.zeros(batch_shape + (out_len,), dtype=jnp.uint32)
-    zero_limb = jnp.zeros(batch_shape + (1,), dtype=jnp.uint32)
+    # initialize the carry FROM the inputs (x*0) so its sharding/varying
+    # type matches the scan body's output under shard_map
+    tie = (a[..., :1] * jnp.uint32(0)) + (b[..., :1] * jnp.uint32(0))
+    acc = jnp.zeros(batch_shape + (out_len,), dtype=jnp.uint32) + tie
+    zero_limb = jnp.zeros(batch_shape + (1,), dtype=jnp.uint32) + tie
 
     # [La, ...] MSB-first stream of a's limbs
     a_stream = jnp.moveaxis(jnp.flip(a, axis=-1), -1, 0)

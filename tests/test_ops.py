@@ -1,0 +1,105 @@
+"""Serialization, fixed-point encoding, and CLI smoke tests."""
+
+import math
+import random
+
+import pytest
+
+from paillier_tpu.core.decrypt import Decryptor
+from paillier_tpu.core.encrypt import Encryptor
+from paillier_tpu.core.keys import LEVEL_ONE, LEVEL_TWO, decode_batch
+from paillier_tpu.ops.encoding import (decode_fixed_point, decode_signed,
+                                       encode_fixed_point, encode_signed)
+from paillier_tpu.ops.serialize import (ciphertext_from_bytes,
+                                        ciphertext_to_bytes, key_from_json,
+                                        public_key_to_json)
+from paillier_tpu.threshold.keygen import generate_threshold_keys
+
+
+class TestSerialization:
+    def test_ciphertext_roundtrip(self, keypair_128, rng):
+        # analogue of paillier_test.go:140-156
+        sk, pk = keypair_128
+        enc = Encryptor(pk, LEVEL_ONE, rng=rng)
+        ms = [rng.randrange(pk.n) for _ in range(8)]
+        ct = enc.encrypt(ms)
+        data = ciphertext_to_bytes(ct)
+        ct2 = ciphertext_from_bytes(data)
+        assert ct2.level == ct.level and ct2.method == ct.method
+        assert decode_batch(ct2.c) == decode_batch(ct.c)
+        dec = Decryptor(sk, LEVEL_ONE)
+        assert dec.decrypt(ct2) == ms
+
+    def test_empty_data_rejected(self):
+        with pytest.raises(ValueError):
+            ciphertext_from_bytes(b"")
+        with pytest.raises(ValueError):
+            ciphertext_from_bytes(b"JUNKJUNKJUNKJUNKJUNK")
+
+    def test_key_roundtrip(self, keypair_128):
+        sk, pk = keypair_128
+        pk2 = key_from_json(public_key_to_json(pk))
+        assert (pk2.n, pk2.g, pk2.h, pk2.k) == (pk.n, pk.g, pk.h, pk.k)
+        sk2 = key_from_json(public_key_to_json(sk))
+        assert (sk2.lam, sk2.p, sk2.q) == (sk.lam, sk.p, sk.q)
+
+    def test_threshold_key_roundtrip(self, rng):
+        keys = generate_threshold_keys(32, 3, 2, rng)
+        k = keys[0]
+        k2 = key_from_json(public_key_to_json(k))
+        assert (k2.id, k2.share, k2.vi, k2.v, k2.l, k2.t) == (
+            k.id, k.share, k.vi, k.v, k.l, k.t)
+        tpk = k.public()
+        tpk2 = key_from_json(public_key_to_json(tpk))
+        assert tpk2.vi == tpk.vi and not hasattr(tpk2, "share") or \
+            type(tpk2).__name__ == "ThresholdPublicKey"
+
+
+class TestFixedPoint:
+    def test_encode_matches_reference_semantics(self):
+        # plaintext.go:10-18: floor(a * 2^prec)
+        assert encode_fixed_point(1.5, 4) == 24
+        assert encode_fixed_point(0.1, 8) == int(0.1 * 256)
+        assert encode_fixed_point("0.1", 8) == 25  # floor(25.6)
+
+    def test_roundtrip(self):
+        for v in (0.0, 1.25, 3.14159, 100.5):
+            enc = encode_fixed_point(v, 32)
+            assert abs(decode_fixed_point(enc, 32) - v) < 2 ** -31
+
+    def test_signed(self):
+        n = 1000003
+        assert decode_signed(encode_signed(-5, n), n) == -5
+        assert decode_signed(encode_signed(7, n), n) == 7
+        with pytest.raises(ValueError):
+            encode_signed(n, n)
+
+    def test_homomorphic_fixed_point_mean(self, keypair_128, rng):
+        sk, pk = keypair_128
+        enc = Encryptor(pk, LEVEL_ONE, rng=rng)
+        dec = Decryptor(sk, LEVEL_ONE)
+        from paillier_tpu.core import homomorphic as hom
+        from paillier_tpu.core.keys import Ciphertext
+        vals = [1.5, 2.25, 3.75, 0.5]
+        prec = 16
+        ct = enc.encrypt([encode_fixed_point(v, prec) for v in vals])
+        agg = hom.aggregate(pk, ct, axis=0)
+        total = dec.decrypt(Ciphertext(c=agg.c[None], level=LEVEL_ONE))[0]
+        assert decode_fixed_point(total, prec) == sum(vals)
+
+
+class TestCli:
+    def test_demo(self, capsys):
+        from paillier_tpu.cli import main
+        main(["--seed", "3", "demo", "--bits", "64"])
+        out = capsys.readouterr().out
+        assert "homomorphic sum     -> 1010" in out
+        assert "ok" in out
+
+    def test_threshold(self, capsys):
+        from paillier_tpu.cli import main
+        main(["--seed", "3", "threshold", "--bits", "32", "--servers", "3",
+              "--threshold", "2"])
+        out = capsys.readouterr().out
+        assert "[1, 0, 1, 1, 0]" in out
+        assert "ok" in out
