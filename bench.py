@@ -39,21 +39,18 @@ def _key(bits, seed=0xBE7C):
     return sk, pk, rng
 
 
-def bench_encrypt(bits=2048, batch=4096, window=5):
-    from paillier_tpu.bigint import montgomery as mont
-    from paillier_tpu.core.encrypt import encrypt_with_r_kernel
+def bench_encrypt(bits=2048, batch=4096, window=5, engine="auto"):
+    from paillier_tpu.core.encrypt import Encryptor
     from paillier_tpu.core.keys import LEVEL_ONE, encode_batch
     sk, pk, rng = _key(bits)
     dk = pk.device()
-    nd = mont.n_digits_for_bits(pk.n.bit_length(), window)
-    ns_digits = jnp.asarray(mont.exp_digits(pk.n, window, nd))
+    enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng, engine=engine)
+    print(f"# engine: {enc.engine}", file=sys.stderr)
     ms = [rng.randrange(pk.n) for _ in range(batch)]
     rs = [rng.randrange(2, pk.n) for _ in range(batch)]
     m = encode_batch(ms, dk.L)
     r = encode_batch(rs, 2 * dk.L)
-    fn = jax.jit(lambda m, r: encrypt_with_r_kernel(
-        dk, m, r, LEVEL_ONE, ns_digits, window))
-    t = _time(fn, m, r)
+    t = _time(enc._fn, m, r)
     return batch / t
 
 

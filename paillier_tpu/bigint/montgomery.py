@@ -36,6 +36,7 @@ class MontCtx(NamedTuple):
     nprime: jax.Array   # -n^{-1} mod R,  R = 2^(16 L)
     r2: jax.Array       # R^2 mod n   (to-Montgomery factor)
     one_m: jax.Array    # R mod n     (1 in Montgomery form)
+    b2l: jax.Array      # R^2's cousin: 2^(32 L) mod n (wide folding)
 
     @property
     def n_limbs(self) -> int:
@@ -53,6 +54,7 @@ def make_mont_ctx(n_int: int, n_limbs: int | None = None) -> MontCtx:
         nprime=jnp.asarray(int_to_limbs(mont_nprime(n_int, L), L)),
         r2=jnp.asarray(int_to_limbs((R * R) % n_int, L)),
         one_m=jnp.asarray(int_to_limbs(R % n_int, L)),
+        b2l=jnp.asarray(int_to_limbs((R * R) % n_int, L)),
     )
 
 
@@ -123,6 +125,37 @@ def mod_wide(ctx: MontCtx, x: jnp.ndarray) -> jnp.ndarray:
                     jnp.broadcast_to(ctx.r2, x.shape[:-1] + (L,)))
 
 
+@jax.jit
+def mod_wide_any(ctx: MontCtx, x: jnp.ndarray) -> jnp.ndarray:
+    """x mod n for x of any limb width (folds limbs above 2L first).
+
+    Needed for RNS->limb outputs whose exact representatives live below
+    M ~ 2^18 * n, a couple of limbs wider than n^2's 2L window.
+    """
+    L = ctx.n_limbs
+    W = x.shape[-1]
+    if W <= 2 * L:
+        return mod_wide(ctx, x)
+    hi = x[..., 2 * L:]                      # < 2^(16*(W-2L)), small
+    lo = x[..., :2 * L]
+    if W - 2 * L > L:
+        raise ValueError("mod_wide_any: top part wider than L limbs")
+    hi_pad = jnp.pad(hi, [(0, 0)] * (x.ndim - 1) + [(0, 3 * L - W)])
+    # fold: x mod n == (hi * (2^(32L) mod n) + lo) mod n
+    t = modmul(ctx, hi_pad, jnp.broadcast_to(ctx.b2l, hi_pad.shape))
+    s, carry = vpu.add(lo, jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, L)]))
+    # a wrapped sum means + 2^(32L), i.e. one more b2l term mod n
+    extra = jnp.where(carry[..., None] != 0,
+                      jnp.broadcast_to(ctx.b2l, s.shape[:-1] + (L,)),
+                      jnp.zeros(s.shape[:-1] + (L,), jnp.uint32))
+    red = mod_wide(ctx, s)
+    red2, c2 = vpu.add(red, extra)
+    wide = jnp.concatenate([red2, c2[..., None]], axis=-1)  # < 2n
+    n_pad = jnp.pad(jnp.broadcast_to(ctx.n, red2.shape),
+                    [(0, 0)] * (red2.ndim - 1) + [(0, 1)])
+    return vpu.cond_sub(wide, n_pad)[..., :L]
+
+
 # ---------------------------------------------------------------------------
 # Fixed-window modular exponentiation
 # ---------------------------------------------------------------------------
@@ -147,15 +180,46 @@ def _build_table(ctx: MontCtx, bm: jnp.ndarray, window: int) -> jnp.ndarray:
     return jnp.stack(entries, axis=0)
 
 
-@partial(jax.jit, static_argnames=('window',))
+def _use_pallas() -> bool:
+    """Fused Pallas kernels on real accelerators; jnp ladder on CPU."""
+    return jax.default_backend() != "cpu"
+
+
 def mont_pow_digits(ctx: MontCtx, base: jnp.ndarray, digits: jnp.ndarray,
                     window: int = 4) -> jnp.ndarray:
     """base^e mod n with e given as MSB-first base-2^w digits.
 
     ``digits`` is int32 of shape [D] (exponent shared across the batch) or
-    [..., D] matching base's batch shape (per-element exponents).  Base is a
-    normal (non-Montgomery) residue < n; result likewise.
+    [..., D] matching base's batch shape (per-element exponents).  Base is
+    a normal (non-Montgomery) residue < n; result likewise.
+
+    On TPU this dispatches to the fused Pallas kernel (state stays in
+    VMEM across the whole ladder); the jnp scan path remains the CPU /
+    fallback implementation.
     """
+    if _use_pallas():
+        from .pallas_kernels import mont_pow_pallas
+        squeeze = base.ndim == 1
+        b2 = base[None] if squeeze else base
+        batch_shape = b2.shape[:-1]
+        L = b2.shape[-1]
+        flat = b2.reshape((-1, L))
+        if digits.ndim > 1:
+            dflat = jnp.broadcast_to(
+                digits, batch_shape + (digits.shape[-1],)
+            ).reshape((-1, digits.shape[-1]))
+        else:
+            dflat = digits
+        out = mont_pow_pallas(ctx, flat, dflat, window)
+        out = out.reshape(batch_shape + (L,))
+        return out[0] if squeeze else out
+    return _mont_pow_digits_jnp(ctx, base, digits, window)
+
+
+@partial(jax.jit, static_argnames=('window',))
+def _mont_pow_digits_jnp(ctx: MontCtx, base: jnp.ndarray, digits: jnp.ndarray,
+                         window: int = 4) -> jnp.ndarray:
+    """Pure-jnp ladder (lax.scan over digits)."""
     per_element = digits.ndim > 1
     bm = to_mont(ctx, base)
     tbl = _build_table(ctx, bm, window)   # [2^w, ..., L]
@@ -194,9 +258,20 @@ def mont_pow(ctx: MontCtx, base: jnp.ndarray, e: int, window: int = 4
         ctx, base, jnp.asarray(exp_digits(e, window, nd)), window)
 
 
-@partial(jax.jit, static_argnames=('window',))
 def mont_pow_fixed_base(ctx: MontCtx, base_1d: jnp.ndarray,
                         digits: jnp.ndarray, window: int = 4) -> jnp.ndarray:
+    """Dispatcher: shared-base power with per-element exponents."""
+    if _use_pallas():
+        batch_shape = digits.shape[:-1]
+        base = jnp.broadcast_to(base_1d, batch_shape + (ctx.n_limbs,))
+        return mont_pow_digits(ctx, base, digits, window)
+    return _mont_pow_fixed_base_jnp(ctx, base_1d, digits, window)
+
+
+@partial(jax.jit, static_argnames=('window',))
+def _mont_pow_fixed_base_jnp(ctx: MontCtx, base_1d: jnp.ndarray,
+                             digits: jnp.ndarray, window: int = 4
+                             ) -> jnp.ndarray:
     """base^e_b mod n for a batch-shared base and per-element exponents.
 
     ``base_1d`` is a single residue [L]; ``digits`` is int32[..., D]

@@ -59,15 +59,30 @@ def resolve_carries_01(s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     ``s`` is uint32[..., L] with each entry < 2^17 (e.g. the lane-wise sum of
     two normalized numbers plus a possible +1).  Output limbs are < 2^16 and
     ``carry_out`` is the uint32[...] carry off the top limb.
+
+    The (g, p) prefix runs as a hand-rolled Kogge-Stone ladder (log2 L
+    static steps of vector ops) rather than ``lax.associative_scan`` so the
+    same code path compiles inside Pallas kernels.
     """
     g = (s >> _BITS).astype(jnp.uint32)  # 0/1 generate
     r = s & _MASK
     p = (r == _MASK).astype(jnp.uint32)  # propagate
-    # prefix over limb axis (last axis), exclusive: carry into limb k
-    g_pref, _ = lax.associative_scan(_carry_combine, (g, p), axis=-1)
-    carry_out = g_pref[..., -1]
+    L = s.shape[-1]
+
+    def shift_right_k(x, k):
+        # prefix shift along the limb axis: out[i] = x[i-k], zeros below
+        pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+        return jnp.pad(x, pad)[..., :L]
+
+    d = 1
+    while d < L:
+        g = g | (p & shift_right_k(g, d))
+        p = p & shift_right_k(p, d)
+        d *= 2
+    # g now holds the inclusive prefix: carry OUT of limb k
+    carry_out = g[..., -1]
     carry_in = jnp.concatenate(
-        [jnp.zeros_like(g_pref[..., :1]), g_pref[..., :-1]], axis=-1)
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
     out = (r + carry_in) & _MASK
     return out, carry_out
 

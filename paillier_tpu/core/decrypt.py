@@ -41,10 +41,29 @@ def decrypt_kernel(dk: DeviceKey, c: jnp.ndarray, level: int,
     lam_digits: shared exponent digits of lambda; mu_limbs: lambda^{-1}
     mod n^s; inv2fac_n2: n * (2!)^{-1} mod n^2 (only used at level 2).
     """
-    L = dk.L
     ctx = dk.ctx_for_level(level)
     tmp = mont.mont_pow_digits(ctx, c, lam_digits, window)  # c^lambda
+    return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
 
+
+def decrypt_kernel_rns(dk: DeviceKey, eng, conv, c: jnp.ndarray, level: int,
+                       lam_digits: jnp.ndarray, mu_limbs: jnp.ndarray,
+                       inv2fac_n2: jnp.ndarray, window: int = 4
+                       ) -> jnp.ndarray:
+    """Generic decryption with c^lambda on the RNS engine."""
+    from ..bigint.rns import _rns_pow
+    ctx = dk.ctx_for_level(level)
+    c_rns = conv.from_limbs(c)
+    t_rns = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
+                     c_rns, lam_digits, window)
+    tmp = mont.mod_wide_any(ctx, conv.to_limbs(t_rns))
+    return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
+
+
+def _recover(dk: DeviceKey, tmp: jnp.ndarray, level: int,
+             mu_limbs: jnp.ndarray, inv2fac_n2: jnp.ndarray) -> jnp.ndarray:
+    """Shared Damgard-Jurik recovery from tmp = c^lambda mod n^(s+1)."""
+    L = dk.L
     one = jnp.zeros_like(tmp).at[..., 0].set(1)
     um1, _ = vpu.sub(tmp, one)
 
@@ -141,7 +160,7 @@ class Decryptor:
     """Batched, jitted decryption for one secret key."""
 
     def __init__(self, sk: SecretKey, level: int = DEFAULT_LEVEL,
-                 crt: bool = False, window: int = 4):
+                 crt: bool = False, window: int = 4, engine: str = "auto"):
         self.sk = sk
         self.dk = sk.device()
         self.level = level
@@ -150,8 +169,12 @@ class Decryptor:
         s = 1 if level == LEVEL_ONE else 2
         self.s = s
         L = self.dk.L
+        if engine == "auto":
+            engine = ("rns" if jax.default_backend() != "cpu"
+                      and sk.bits >= 1024 and not self.crt else "limb")
+        self.engine = engine
 
-        cache_key = ("dec", self.crt, level, window)
+        cache_key = ("dec", self.crt, level, window, engine)
         if cache_key in self.dk.jit_cache:
             self._fn = self.dk.jit_cache[cache_key]
         elif self.crt:
@@ -187,8 +210,14 @@ class Decryptor:
                 pow(sk.lam, -1, ns), s * L))
             inv2fac = jnp.asarray(host.int_to_limbs(
                 (sk.n * pow(2, -1, sk.n2)) % sk.n2, 2 * L))
-            self._fn = jax.jit(lambda c: decrypt_kernel(
-                self.dk, c, level, lam_digits, mu, inv2fac, window))
+            if engine == "rns":
+                eng, conv = self.dk.rns(level)
+                self._fn = jax.jit(lambda c: decrypt_kernel_rns(
+                    self.dk, eng, conv, c, level, lam_digits, mu, inv2fac,
+                    window))
+            else:
+                self._fn = jax.jit(lambda c: decrypt_kernel(
+                    self.dk, c, level, lam_digits, mu, inv2fac, window))
             self.dk.jit_cache[cache_key] = self._fn
 
     def decrypt(self, ct: Ciphertext) -> list[int]:

@@ -81,6 +81,26 @@ def encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray, r: jnp.ndarray,
     return mont.modmul(ctx, gm, rn)
 
 
+def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, conv, m: jnp.ndarray,
+                              r: jnp.ndarray, level: int,
+                              ns_digits: jnp.ndarray,
+                              window: int = 4) -> jnp.ndarray:
+    """RNS fast path: r^(n^s) runs in the Cox-Rower engine (MXU base
+    extensions), G^m via the limb binomial shortcut; outputs are
+    bit-identical to the limb path."""
+    from ..bigint.rns import _rns_pow, rns_mont_mul
+    ctx = dk.ctx_for_level(level)
+    gm = gm_binomial(dk, m, level)
+    gm_rns = conv.from_limbs(gm)
+    r_rns = conv.from_limbs(r)
+    rn = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
+                  r_rns, ns_digits, window)
+    t = rns_mont_mul(eng.ctx, gm_rns, rn)
+    c_rns = rns_mont_mul(eng.ctx, t, jnp.broadcast_to(eng.m2_rns, t.shape))
+    wide = conv.to_limbs(c_rns)
+    return mont.mod_wide_any(ctx, wide)
+
+
 def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
                               r_digits: jnp.ndarray, level: int,
                               window: int = 4) -> jnp.ndarray:
@@ -104,7 +124,8 @@ class Encryptor:
     """
 
     def __init__(self, pk: PublicKey, level: int = DEFAULT_LEVEL,
-                 method: str = REGULAR, window: int = 4, rng=None):
+                 method: str = REGULAR, window: int = 4, rng=None,
+                 engine: str = "auto"):
         self.pk = pk
         self.dk = pk.device()
         self.level = level
@@ -115,15 +136,27 @@ class Encryptor:
         self.s = s
         self.m_limbs = s * self.dk.L
         self.c_limbs = (s + 1) * self.dk.L
-        cache_key = ("enc", method, level, window)
+        if engine == "auto":
+            # RNS pays off for production key sizes on accelerators
+            engine = ("rns" if jax.default_backend() != "cpu"
+                      and pk.bits >= 1024 and method == REGULAR else "limb")
+        self.engine = engine
+        cache_key = ("enc", method, level, window, engine)
         if method == REGULAR:
             if cache_key not in self.dk.jit_cache:
                 ns = pk.n ** s
                 nd = mont.n_digits_for_bits(ns.bit_length(), window)
                 ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))
-                self.dk.jit_cache[cache_key] = jax.jit(
-                    lambda m, r: encrypt_with_r_kernel(
-                        self.dk, m, r, level, ns_digits, window))
+                if engine == "rns":
+                    eng, conv = self.dk.rns(level)
+                    self.dk.jit_cache[cache_key] = jax.jit(
+                        lambda m, r: encrypt_with_r_rns_kernel(
+                            self.dk, eng, conv, m, r, level, ns_digits,
+                            window))
+                else:
+                    self.dk.jit_cache[cache_key] = jax.jit(
+                        lambda m, r: encrypt_with_r_kernel(
+                            self.dk, m, r, level, ns_digits, window))
             self._fn = self.dk.jit_cache[cache_key]
         elif method == ALTERNATIVE:
             self._r_bits = pk.k.bit_length() - 1  # r < K = 2^(secparam/2)

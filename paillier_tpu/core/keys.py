@@ -135,6 +135,20 @@ class DeviceKey:
         # shared cache of jitted kernels so repeated Encryptor/Decryptor
         # construction reuses compilations (key: kind/level/method/window)
         self.jit_cache: dict = {}
+        self._rns: dict = {}
+
+    def rns(self, level: int):
+        """(RnsEngine, RnsConverter) for modulus n^(s+1), cached.
+
+        Built eagerly (host-side prime search + CRT matrices) — never call
+        for the first time inside a jit trace.
+        """
+        if level not in self._rns:
+            from ..bigint.rns import RnsConverter, RnsEngine
+            eng = RnsEngine(self.pk.modulus_for_level(level))
+            conv = RnsConverter(eng, self.limbs_for_level(level))
+            self._rns[level] = (eng, conv)
+        return self._rns[level]
 
     def hs_for_level(self, level: int) -> jax.Array:
         """Alternative-encryption randomness generator h_s (lazy, host pow):
