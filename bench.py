@@ -67,21 +67,33 @@ def bench_decrypt_crt(bits=2048, batch=4096, window=5):
     return batch / t
 
 
-def bench_aggregate(bits=2048, batch=1 << 20, window=4):
+def bench_aggregate(bits=2048, batch=1 << 20, window=4, chunk=1 << 16):
     """1M-ciphertext homomorphic aggregation (config #3).  Synthesizes the
     big batch by tiling a smaller encrypted batch (aggregation cost does
-    not depend on ciphertext values)."""
+    not depend on ciphertext values); processed in chunks so device
+    memory stays bounded, with a final combine over the chunk partials."""
     from paillier_tpu.core import homomorphic as hom
     from paillier_tpu.core.encrypt import Encryptor
     from paillier_tpu.core.keys import LEVEL_ONE, Ciphertext
     sk, pk, rng = _key(bits)
     enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng)
     small = enc.encrypt([rng.randrange(pk.n) for _ in range(1024)])
-    big = jnp.tile(small.c, (batch // 1024, 1))
-    ct = Ciphertext(c=big, level=LEVEL_ONE)
-    t = _time(lambda c: hom.aggregate(
-        pk, Ciphertext(c=c, level=LEVEL_ONE), axis=0).c, big,
-        warmup=1, iters=2)
+    big = jnp.tile(small.c, (chunk // 1024, 1))
+
+    def agg_all():
+        partials = []
+        for _ in range(batch // chunk):
+            p = hom.aggregate(pk, Ciphertext(c=big, level=LEVEL_ONE),
+                              axis=0)
+            partials.append(p.c)
+        stacked = jnp.stack(partials)
+        return hom.aggregate(pk, Ciphertext(c=stacked, level=LEVEL_ONE),
+                             axis=0).c
+
+    jax.block_until_ready(agg_all())      # warmup / compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(agg_all())
+    t = time.perf_counter() - t0
     return batch / t
 
 

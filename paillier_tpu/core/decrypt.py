@@ -121,22 +121,35 @@ def crt_decrypt_kernel(dk: DeviceKey, c: jnp.ndarray,
                        ctx_p2, ctx_q2, ctx_p, ctx_q,
                        ep_digits, eq_digits,
                        p_hensel, q_hensel, hp, hq, pinv_q, p_limbs,
-                       window: int = 4) -> jnp.ndarray:
-    """m = CRT(m_p, m_q) with m_p = L_p(c^{p-1} mod p^2) h_p mod p."""
+                       window: int = 4, rns_halves=None) -> jnp.ndarray:
+    """m = CRT(m_p, m_q) with m_p = L_p(c^{p-1} mod p^2) h_p mod p.
+
+    ``rns_halves``: optional ((eng_p, conv_p), (eng_q, conv_q)) — when
+    given, the two half-width modexps run on RNS engines (MXU path).
+    """
     L = dk.L
     Lh = ctx_p2.n_limbs    # = L (p^2 has ~n bits)
     Lp = ctx_p.n_limbs
 
-    def half(ctx2, ctx1, e_digits, hensel, hfac):
+    def half(ctx2, ctx1, e_digits, hensel, hfac, rns_half):
         cm = mont.mod_wide(ctx2, c[..., :2 * Lh])
-        u = mont.mont_pow_digits(ctx2, cm, e_digits, window)
+        if rns_half is not None:
+            from ..bigint.rns import _rns_pow
+            eng, conv = rns_half
+            u_rns = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns,
+                             eng.mmodn_rns, conv.from_limbs(cm),
+                             e_digits, window)
+            u = mont.mod_wide_any(ctx2, conv.to_limbs(u_rns))
+        else:
+            u = mont.mont_pow_digits(ctx2, cm, e_digits, window)
         one = jnp.zeros_like(u).at[..., 0].set(1)
         um1, _ = vpu.sub(u, one)
         lval = _L_div(um1, hensel, Lh)[..., :Lp]
         return mont.modmul(ctx1, lval, jnp.broadcast_to(hfac, lval.shape))
 
-    mp = half(ctx_p2, ctx_p, ep_digits, p_hensel, hp)
-    mq = half(ctx_q2, ctx_q, eq_digits, q_hensel, hq)
+    rh = rns_halves or (None, None)
+    mp = half(ctx_p2, ctx_p, ep_digits, p_hensel, hp, rh[0])
+    mq = half(ctx_q2, ctx_q, eq_digits, q_hensel, hq, rh[1])
 
     # m = mp + p * ((mq - mp) * p^{-1} mod q)
     Lq = ctx_q.n_limbs
@@ -171,7 +184,7 @@ class Decryptor:
         L = self.dk.L
         if engine == "auto":
             engine = ("rns" if jax.default_backend() != "cpu"
-                      and sk.bits >= 1024 and not self.crt else "limb")
+                      and sk.bits >= 1024 else "limb")
         self.engine = engine
 
         cache_key = ("dec", self.crt, level, window, engine)
@@ -198,9 +211,16 @@ class Decryptor:
             hq = jnp.asarray(host.int_to_limbs(cc.hq_int, Lp))
             piq = jnp.asarray(host.int_to_limbs(cc.pinv_q, Lp))
             pl = jnp.asarray(host.int_to_limbs(p, Lp))
+            rns_halves = None
+            if self.dk.use_rns() and engine != "limb":
+                from ..bigint.rns import RnsConverter, RnsEngine
+                eng_p = RnsEngine(cc.p2)
+                eng_q = RnsEngine(cc.q2)
+                rns_halves = ((eng_p, RnsConverter(eng_p, Lh)),
+                              (eng_q, RnsConverter(eng_q, Lh)))
             self._fn = jax.jit(lambda c: crt_decrypt_kernel(
                 self.dk, c, ctx_p2, ctx_q2, ctx_p, ctx_q, ep, eq,
-                ph, qh, hp, hq, piq, pl, window))
+                ph, qh, hp, hq, piq, pl, window, rns_halves))
             self.dk.jit_cache[cache_key] = self._fn
         else:
             ns = sk.n ** s

@@ -67,16 +67,17 @@ def const_mult(pk: PublicKey, ct: Ciphertext, k) -> Ciphertext:
 
     ``k`` may be a single int (shared) or a sequence of per-element ints.
     """
-    ctx = _ctx(pk, level := ct.level)
+    dk = pk.device()
+    level = ct.level
     window = 4
     if isinstance(k, (int, np.integer)):
-        c = mont.mont_pow(ctx, ct.c, int(k), window)
+        c = dk.pow_int(level, ct.c, int(k), window)
     else:
         bits = max(int(ki).bit_length() for ki in k) or 1
         nd = mont.n_digits_for_bits(bits, window)
         digits = np.stack([mont.exp_digits(int(ki), window, nd) for ki in k])
         digits = jnp.asarray(digits.reshape(ct.c.shape[:-1] + (nd,)))
-        c = mont.mont_pow_digits(ctx, ct.c, digits, window)
+        c = dk.pow(level, ct.c, digits, window)
     return Ciphertext(c=c, level=level, method=ct.method)
 
 
@@ -110,14 +111,42 @@ def aggregate_kernel(ctx: mont.MontCtx, c: jnp.ndarray,
     return mont.mont_mul(ctx, x[0], jnp.broadcast_to(r_fix, x[0].shape))
 
 
-def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0) -> Ciphertext:
-    """Homomorphic sum of a whole batch: prod_i c_i mod n^(s+1)."""
-    ctx = _ctx(pk, ct.level)
+def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0,
+              engine: str = "auto") -> Ciphertext:
+    """Homomorphic sum of a whole batch: prod_i c_i mod n^(s+1).
+
+    On accelerators with large keys the product tree runs in the RNS
+    engine: each level is pointwise channel products + two MXU base
+    extensions instead of O(L^2) limb scans.
+    """
+    dk = pk.device()
     c = jnp.moveaxis(ct.c, axis, 0)
     m = c.shape[0]
+    mod = pk.modulus_for_level(ct.level)
+    if engine == "auto":
+        engine = "rns" if dk.use_rns() else "limb"
+
+    if engine == "rns":
+        from ..bigint.rns import rns_mont_mul
+        eng, conv = dk.rns(ct.level)
+        x = conv.from_limbs(c)
+        while x.shape[0] > 1:
+            if x.shape[0] % 2:
+                one = jnp.asarray(eng.spec.encode([1]))
+                x = jnp.concatenate([x, one], axis=0)
+            x = rns_mont_mul(eng.ctx, x[0::2], x[1::2])
+        # each tree multiply divides by M; restore with one more mult
+        t_pow = _tree_r_power(m)
+        fix = jnp.asarray(eng.spec.encode(
+            [pow(eng.spec.M, t_pow + 1, mod)]))[0]
+        out_rns = rns_mont_mul(eng.ctx, x[0], fix)
+        out = mont.mod_wide_any(dk.ctx_for_level(ct.level),
+                                conv.to_limbs(out_rns[None]))[0]
+        return Ciphertext(c=out, level=ct.level, method=MIXED)
+
+    ctx = dk.ctx_for_level(ct.level)
     Ltot = c.shape[-1]
     R = 1 << (host.LIMB_BITS * Ltot)
-    mod = pk.modulus_for_level(ct.level)
     # every tree mont_mul contributes an R^{-1}; padding elements are the
     # integer 1 (not Montgomery one), so they contribute none of their own.
     r_pow = _tree_r_power(m)
@@ -150,10 +179,10 @@ def nested_add(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     """ct1^(ct2.c) mod n^3 (reference: operations.go:121-127)."""
     if ct1.level != LEVEL_TWO or ct2.level != LEVEL_ONE:
         raise ValueError("nested_add needs (level-2, level-1) ciphertexts")
-    ctx = _ctx(pk, LEVEL_TWO)
+    dk = pk.device()
     window = 4
-    digits = mont.limbs_to_digits(ct2.c, window)
-    c = mont.mont_pow_digits(ctx, ct1.c, digits, window)
+    digits = mont.limbs_to_digits(ct2.c, 4)
+    c = dk.pow(LEVEL_TWO, ct1.c, digits, 4)
     return Ciphertext(c=c, level=LEVEL_TWO, method=ct1.method)
 
 
@@ -184,10 +213,10 @@ def nested_randomize(pk: PublicKey, ct: Ciphertext, rng=None,
     window = 4
     a = encode_batch(a_list, 2 * dk.L).reshape(ct.c.shape[:-1] + (2 * dk.L,))
     b = encode_batch(b_list, 3 * dk.L).reshape(ct.c.shape[:-1] + (3 * dk.L,))
-    an = mont.mont_pow(dk.ctx_n2, a, pk.n, window)          # a^n mod n^2
-    bn2 = mont.mont_pow(dk.ctx_n3, b, pk.n2, window)        # b^(n^2) mod n^3
-    digits = mont.limbs_to_digits(an, window)
-    ctan = mont.mont_pow_digits(dk.ctx_n3, ct.c, digits, window)
+    an = dk.pow_int(1, a, pk.n, window)                     # a^n mod n^2
+    bn2 = dk.pow_int(2, b, pk.n2, window)                    # b^(n^2) mod n^3
+    digits = mont.limbs_to_digits(an, 4)
+    ctan = dk.pow(2, ct.c, digits, 4)
     c = mont.modmul(dk.ctx_n3, ctan, bn2)
     out = Ciphertext(c=c, level=LEVEL_TWO, method="regular")
     return out, a_list, b_list

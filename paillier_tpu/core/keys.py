@@ -150,6 +150,40 @@ class DeviceKey:
             self._rns[level] = (eng, conv)
         return self._rns[level]
 
+    def use_rns(self) -> bool:
+        """RNS engine pays off for production keys on accelerators."""
+        import jax
+        return jax.default_backend() != "cpu" and self.pk.bits >= 1024
+
+    def pow(self, level: int, base, digits, window: int = 4):
+        """Engine-aware modexp mod n^(s+1): RNS (MXU) on accelerators for
+        large keys, limb Montgomery (Pallas/jnp) otherwise.
+
+        ``digits``: [D] shared or [..., D] per-element, MSB-first
+        base-2^window.  Eager entry point (dispatch happens outside jit).
+        """
+        from ..bigint import montgomery as mont
+        if self.use_rns():
+            from ..bigint.rns import _rns_pow
+            eng, conv = self.rns(level)
+            r = conv.from_limbs(base)
+            out = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
+                           r, digits, window)
+            return mont.mod_wide_any(self.ctx_for_level(level),
+                                     conv.to_limbs(out))
+        return mont.mont_pow_digits(self.ctx_for_level(level), base,
+                                    digits, window)
+
+    def pow_int(self, level: int, base, e: int, window: int = 4):
+        """pow with a host-int shared exponent."""
+        from ..bigint import montgomery as mont
+        import jax.numpy as jnp
+        if e == 0:
+            return jnp.zeros_like(base).at[..., 0].set(1)
+        nd = mont.n_digits_for_bits(e.bit_length(), window)
+        return self.pow(level, base,
+                        jnp.asarray(mont.exp_digits(e, window, nd)), window)
+
     def hs_for_level(self, level: int) -> jax.Array:
         """Alternative-encryption randomness generator h_s (lazy, host pow):
         h1 = (n-h)^n mod n^2, h2 = (n^2-h)^(n^2) mod n^3

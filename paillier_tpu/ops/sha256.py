@@ -126,31 +126,41 @@ def sha256_bytes(data: jnp.ndarray, lengths: jnp.ndarray,
     state = jnp.broadcast_to(jnp.asarray(_H0), (B_, 8)).astype(jnp.uint32)
     K = jnp.asarray(_K)
 
+    # Everything below is fori_loops so the round body compiles exactly
+    # once (a fully unrolled 64-round body makes XLA's scheduler blow up).
     def block_body(blk, state):
-        base = blk * 16
-        w = [w32[:, base + t] for t in range(16)]
-        for t in range(16, 64):
-            s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-            s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-            w.append(w[t - 16] + s0 + w[t - 7] + s1)
-        a, b, c, d, e, f, g, h = [state[:, i] for i in range(8)]
-        for t in range(64):
+        block = lax.dynamic_slice(w32, (0, blk * 16), (B_, 16))
+        ws0 = jnp.concatenate(
+            [jnp.swapaxes(block, 0, 1),
+             jnp.zeros((48, B_), jnp.uint32)], axis=0)        # [64, B]
+
+        def sched(t, ws):
+            w15 = ws[t - 15]
+            w2 = ws[t - 2]
+            s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
+            s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
+            return ws.at[t].set(ws[t - 16] + s0 + ws[t - 7] + s1)
+
+        ws = lax.fori_loop(16, 64, sched, ws0)
+
+        def round_body(t, carry):
+            a, b, c, d, e, f, g, h = carry
             S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
             ch = (e & f) ^ (~e & g)
-            t1 = h + S1 + ch + K[t] + w[t]
+            t1 = h + S1 + ch + K[t] + ws[t]
             S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
             mj = (a & b) ^ (a & c) ^ (b & c)
             t2 = S0 + mj
-            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-        new = state + jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+            return (t1 + t2, a, b, c, d + t1, e, f, g)
+
+        init = tuple(state[:, i] for i in range(8))
+        out = lax.fori_loop(0, 64, round_body, init)
+        new = state + jnp.stack(out, axis=-1)
         # only elements whose message includes this block advance
         active = (blk < nblocks)[:, None]
         return jnp.where(active, new, state)
 
-    n_total_blocks = PAD // 64
-    for blk in range(n_total_blocks):
-        state = block_body(blk, state)
-    return state
+    return lax.fori_loop(0, PAD // 64, block_body, state)
 
 
 def digest_to_ints(digest: jnp.ndarray) -> list[int]:

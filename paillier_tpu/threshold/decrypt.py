@@ -55,7 +55,7 @@ def partial_decrypt(tsk: ThresholdSecretKey, ct: Ciphertext,
     over the ciphertexts."""
     dk = tsk.device()
     exp = 2 * tsk.delta * tsk.share
-    out = mont.mont_pow(dk.ctx_n2, ct.c, exp, window)
+    out = dk.pow_int(1, ct.c, exp, window)
     return PartialDecryptionBatch(id=tsk.id, c=out)
 
 
@@ -109,7 +109,7 @@ def combine(tpk: ThresholdPublicKey,
         lam2 = 2 * compute_lambda(tpk, s.id, ids)
         if lam2 == 0:
             continue
-        powed = mont.mont_pow(ctx, s.c, abs(lam2), window)
+        powed = dk.pow_int(1, s.c, abs(lam2), window)
         if lam2 > 0:
             pos = mont.modmul(ctx, pos, powed)
         else:

@@ -52,9 +52,10 @@ def partial_decrypt_with_zkp(tsk: ThresholdSecretKey, ct: Ciphertext,
     r_digits = jnp.asarray(np.stack(
         [mont.exp_digits(r, window, nd) for r in rs]))
     r_digits = r_digits.reshape(ct.c.shape[:-1] + (nd,))
-    a = mont.mont_pow_digits(ctx2, c4m, r_digits, window)
-    vbase = jnp.asarray(host.int_to_limbs(tsk.v, 2 * L))
-    b = mont.mont_pow_fixed_base(ctx2, vbase, r_digits, window)
+    a = dk.pow(1, c4m, r_digits, window)
+    vbase = jnp.broadcast_to(jnp.asarray(host.int_to_limbs(tsk.v, 2 * L)),
+                             c4m.shape)
+    b = dk.pow(1, vbase, r_digits, window)
 
     a_vals = decode_batch(a.reshape((-1, 2 * L)))
     b_vals = decode_batch(b.reshape((-1, 2 * L)))

@@ -89,13 +89,14 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     # x^n mod n^2 and y^(n^2) mod n^3, shared exponents (ddleq.go:81-82)
     X = encode_batch(flat_x, 2 * L)
     Y = encode_batch(flat_y, 3 * L)
-    xn = mont.mont_pow(ctx2, X, n, window)
-    yn2 = mont.mont_pow(ctx3, Y, n2, window)
+    xn = dk.pow_int(1, X, n, window)
+    yn2 = dk.pow_int(2, Y, n2, window)
 
     # alpha = ct1^(x^n) * y^(n^2) mod n^3 (ddleq.go:85-87)
+    # device-extracted exponent digits use window 4 (must divide 16)
     c1_rep = jnp.repeat(ct1.c.reshape((-1, 3 * L)), S, axis=0)
-    xn_digits = mont.limbs_to_digits(xn, window)
-    c1x = mont.mont_pow_digits(ctx3, c1_rep, xn_digits, window)
+    xn_digits = mont.limbs_to_digits(xn, 4)
+    c1x = dk.pow(2, c1_rep, xn_digits, 4)
     alpha = mont.modmul(ctx3, c1x, yn2)
 
     alpha_vals = decode_batch(alpha)
@@ -117,13 +118,13 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
               for i in range(B)]
     flat_e = [e for row in es for e in row]
     E = encode_batch(flat_e, 2 * L)
-    en = mont.mont_pow(ctx2, E, n, window)          # e^n mod n^2
-    en_digits = mont.limbs_to_digits(en, window)
+    en = dk.pow_int(1, E, n, window)                # e^n mod n^2
+    en_digits = mont.limbs_to_digits(en, 4)
     T = encode_batch([t_vals[i] for i in range(B) for _ in range(S)], 3 * L)
-    t_pow = mont.mont_pow_digits(ctx3, T, en_digits, window)
+    t_pow = dk.pow(2, T, en_digits, 4)
     Srep = encode_batch([s_vals[i] for i in range(B) for _ in range(S)],
                         3 * L)
-    s_xn = mont.mont_pow_digits(ctx3, Srep, xn_digits, window)
+    s_xn = dk.pow(2, Srep, xn_digits, 4)
     t_pow_vals = decode_batch(t_pow)
     s_xn_vals = decode_batch(s_xn)
 
@@ -165,15 +166,15 @@ def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
     flat_f = [f for row in proof.f for f in row]
     E = encode_batch(flat_e, 2 * L)
     F = encode_batch(flat_f, 3 * L)
-    en = mont.mont_pow(ctx2, E, n, window)           # e^n mod n^2
-    fn2 = mont.mont_pow(ctx3, F, n2, window)         # f^(n^2) mod n^3
+    en = dk.pow_int(1, E, n, window)                 # e^n mod n^2
+    fn2 = dk.pow_int(2, F, n2, window)               # f^(n^2) mod n^3
 
     # base = chal ? ct2 : ct1, per instance
     bases = encode_batch(
         [c2_vals[i] if chal[i][j] else c1_vals[i]
          for i in range(B) for j in range(S)], 3 * L)
-    en_digits = mont.limbs_to_digits(en, window)
-    powed = mont.mont_pow_digits(ctx3, bases, en_digits, window)
+    en_digits = mont.limbs_to_digits(en, 4)
+    powed = dk.pow(2, bases, en_digits, 4)
     check = mont.modmul(ctx3, powed, fn2)
     check_vals = decode_batch(check)
 

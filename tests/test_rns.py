@@ -153,3 +153,40 @@ class TestRnsPipelines:
         ct = enc.encrypt(ms)
         dec = Decryptor(sk, LEVEL_ONE, engine="rns")
         assert dec.decrypt(ct) == ms
+
+    def test_crt_decrypt_rns(self, keypair_128, rng):
+        from paillier_tpu.core.decrypt import Decryptor
+        from paillier_tpu.core.encrypt import Encryptor
+        from paillier_tpu.core.keys import LEVEL_ONE
+        sk, pk = keypair_128
+        ms = [rng.randrange(pk.n) for _ in range(8)]
+        enc = Encryptor(pk, LEVEL_ONE, rng=rng, engine="limb")
+        ct = enc.encrypt(ms)
+        # force the RNS halves on CPU by monkeypatching the gate
+        dk = sk.device()
+        orig = dk.use_rns
+        dk.use_rns = lambda: True
+        try:
+            dec = Decryptor(sk, LEVEL_ONE, crt=True, engine="rns")
+            assert dec.decrypt(ct) == ms
+        finally:
+            dk.use_rns = orig
+            dk.jit_cache.pop(("dec", True, LEVEL_ONE, 4, "rns"), None)
+
+    def test_aggregate_rns(self, keypair_128, rng):
+        from paillier_tpu.core import homomorphic as hom
+        from paillier_tpu.core.decrypt import Decryptor
+        from paillier_tpu.core.encrypt import Encryptor
+        from paillier_tpu.core.keys import LEVEL_ONE, Ciphertext
+        sk, pk = keypair_128
+        vals = [rng.randrange(1000) for _ in range(37)]
+        enc = Encryptor(pk, LEVEL_ONE, rng=rng, engine="limb")
+        cts = enc.encrypt(vals)
+        agg = hom.aggregate(pk, cts, axis=0, engine="rns")
+        dec = Decryptor(sk, LEVEL_ONE, engine="limb")
+        got = dec.decrypt(Ciphertext(c=agg.c[None], level=LEVEL_ONE))
+        assert got == [sum(vals) % pk.n]
+        # matches the limb tree bit-exactly
+        agg2 = hom.aggregate(pk, cts, axis=0, engine="limb")
+        from paillier_tpu.core.keys import decode_batch
+        assert decode_batch(agg.c[None]) == decode_batch(agg2.c[None])
