@@ -39,7 +39,7 @@ def _key(bits, seed=0xBE7C):
     return sk, pk, rng
 
 
-def bench_encrypt(bits=2048, batch=4096, window=5, engine="auto"):
+def bench_encrypt(bits=2048, batch=4096, window=4, engine="auto"):
     from paillier_tpu.core.encrypt import Encryptor
     from paillier_tpu.core.keys import LEVEL_ONE, encode_batch
     sk, pk, rng = _key(bits)
@@ -54,7 +54,7 @@ def bench_encrypt(bits=2048, batch=4096, window=5, engine="auto"):
     return batch / t
 
 
-def bench_decrypt_crt(bits=2048, batch=4096, window=5):
+def bench_decrypt_crt(bits=2048, batch=4096, window=4):
     from paillier_tpu.core.decrypt import Decryptor
     from paillier_tpu.core.encrypt import Encryptor
     from paillier_tpu.core.keys import LEVEL_ONE

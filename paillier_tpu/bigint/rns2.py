@@ -1,0 +1,521 @@
+"""RNS Montgomery engine v2 — int8-MXU, fully fused on TPU.
+
+Second-generation Cox-Rower engine (supersedes :mod:`rns.py` on the hot
+paths).  Design deltas, all driven by measured v5e behavior:
+
+* **Standard-form residues** (no per-channel Montgomery factor): every
+  per-channel constant multiply is *folded into the base-extension
+  matrices*, so a full RNS Montgomery multiplication needs only ONE
+  variable-by-variable integer multiply per channel; everything else is
+  int8 matmuls plus float-reciprocal channel reductions.
+* **int8 MXU path**: extension matrices are stored as 7-bit chunk pairs
+  in int8; ``i8 x i8 -> i32`` dots sustain ~2x the bf16 rate on v5e and
+  make every accumulation exact in int32 (no 2^24 float-exactness cliff).
+* **Cox floating alpha for the second extension** (Kawamura et al.,
+  EUROCRYPT 2000) replaces the Shenoy redundant channel: alpha2 =
+  floor(sum(sigma_j / m'_j) + eps), exact because M2 >= 8*lambda*N keeps
+  the true fraction below 1/8 while the f32 tree-sum error stays < eps.
+* **Per-base array layout**: residues live as a pair of [batch, k]
+  arrays (base B1 / base B2) so every slice and broadcast is
+  lane-offset-0 — Mosaic rejects broadcasts of tiles at non-128-aligned
+  lane offsets.  Each base extension is two ``[B, 2k] x [2k, k]`` dots
+  (lo-chunk / hi-chunk target matrices).
+* **One fused Pallas kernel per modexp** (pallas_rns2.py): the residue
+  carry, the window table and the extension matrices live in VMEM for
+  the whole exponent ladder; HBM traffic collapses to kernel I/O.  The
+  ``lax.scan`` formulation of v1 paid ~40-60us of HBM carry traffic per
+  modmul; the fused kernel pays none.
+
+Value-range invariants: channels m in (2^12.5, 2^14), k per base.
+Two-chunk matrix folding inflates first-extension digits to < 2^22, so
+alpha1 < k*2^9.5; inputs/outputs of the Montgomery multiply stay below
+lambda*N with lambda = k*2^10.  The spec enforces M >= lambda^2 * N
+(first base) and M2 >= 8*lambda*N (cox margin, second base).
+
+Replaces the reference's gmp.Int.Exp hot path (reference:
+paillier.go:213-216, 296; thresholdkey.go:195-199; ddleq.go:81-87).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import host
+
+CHUNK = 7                      # int8 chunk width (values < 2^7)
+MAX_CHANNEL_BITS = 14          # channel primes < 2^14
+
+# ic1 rows (base B1 constants, int32 [NI1, k])
+I1_M = 0       # B1 moduli
+I1_M2M = 1     # M2 mod m_i
+I1_ENTRY = 2   # (M^2 mod N) mod m_i  (to-Montgomery factor)
+I1_ONEM = 3    # (M mod N) mod m_i    (1 in Montgomery form)
+I1_ONE = 4     # 1
+NI1 = 5
+
+# ic2 rows (base B2 constants, int32 [NI2, k])
+I2_M = 0       # B2 moduli
+I2_U0 = 1      # (2^0 * M^-1) mod m'_j
+I2_U1 = 2      # (2^7 * M^-1) mod m'_j
+I2_K30 = 3     # (2^0 * (M2/m'_j)^-1) mod m'_j
+I2_K31 = 4     # (2^7 * (M2/m'_j)^-1) mod m'_j
+I2_ENTRY = 5
+I2_ONEM = 6
+I2_ONE = 7
+NI2 = 8
+
+COX_EPS = 0.05   # > worst-case f32 sum error (k <= 512); true frac <= 1/8
+
+
+def _primes_descending(count: int) -> list[int]:
+    """``count`` largest primes below 2^14 (descending)."""
+    out = []
+    n = (1 << MAX_CHANNEL_BITS) - 1
+    while len(out) < count and n > (1 << 11):
+        if host.is_probable_prime(n, 12):
+            out.append(n)
+        n -= 2
+    if len(out) < count:
+        raise ValueError(f"not enough sub-14-bit primes for {count} channels")
+    return out
+
+
+class Rns2Context(NamedTuple):
+    """Device constants (pytree) for one modulus N."""
+
+    ic1: jax.Array     # int32 [NI1, k]
+    ic2: jax.Array     # int32 [NI2, k]
+    f1: jax.Array      # f32 [1, k]: 1/m_i
+    f2: jax.Array      # f32 [1, k]: 1/m'_j
+    e1lo: jax.Array    # int8 [2k, k]: ext1 lo-chunk columns (targets B2)
+    e1hi: jax.Array    # int8 [2k, k]
+    e2lo: jax.Array    # int8 [2k, k]: ext2 lo-chunk columns (targets B1)
+    e2hi: jax.Array    # int8 [2k, k]
+
+    @property
+    def k(self) -> int:
+        return self.ic1.shape[-1]
+
+
+class Rns2Spec:
+    """Host-side spec: channel selection, CRT data, folded matrices."""
+
+    def __init__(self, n_modulus: int):
+        if n_modulus % 2 == 0:
+            raise ValueError("modulus must be odd")
+        self.N = n_modulus
+        nbits = n_modulus.bit_length()
+        # lambda = k * 2^10 covers the digit-inflation alpha1 bound; each
+        # channel contributes >= 13 bits.  k rounded to a multiple of 64.
+        k = -(-(nbits + 64) // 13)
+        k = ((k + 63) // 64) * 64
+        while True:
+            primes = _primes_descending(2 * k)
+            b1, b2 = primes[:k], primes[k:2 * k]
+            M = 1
+            for p in b1:
+                M *= p
+            M2 = 1
+            for p in b2:
+                M2 *= p
+            lam = k << 10
+            if M >= lam * lam * n_modulus and M2 >= 8 * lam * n_modulus:
+                break
+            k += 64
+        self.k = k
+        self.C = 2 * k
+        self.b1, self.b2 = b1, b2
+        self.M, self.M2 = M, M2
+        self.lam = lam
+        self.all_m = b1 + b2
+        self.crt_w = [(M // p, pow(M // p, -1, p)) for p in b1]
+        self.m2_mod_n = (M * M) % n_modulus
+        self.onem_int = M % n_modulus
+
+    # -- host <-> residues (external format: full-width [B, C]) -------------
+    def encode(self, values: Sequence[int]) -> np.ndarray:
+        out = np.zeros((len(values), self.C), dtype=np.int32)
+        for b, v in enumerate(values):
+            for i, m in enumerate(self.all_m):
+                out[b, i] = v % m
+        return out
+
+    def decode(self, residues: np.ndarray) -> list[int]:
+        res = np.asarray(residues, dtype=np.int64)
+        out = []
+        for b in range(res.shape[0]):
+            x = 0
+            for i, m in enumerate(self.b1):
+                Mi, wi = self.crt_w[i]
+                x += ((int(res[b, i]) * wi) % m) * Mi
+            out.append((x % self.M) % self.N)
+        return out
+
+    # -- device context ------------------------------------------------------
+    def build_context(self) -> Rns2Context:
+        N, k = self.N, self.k
+        b1, b2, M, M2 = self.b1, self.b2, self.M, self.M2
+
+        m1 = np.asarray(b1, dtype=np.int64)
+        m2 = np.asarray(b2, dtype=np.int64)
+        ic1 = np.zeros((NI1, k), dtype=np.int64)
+        ic2 = np.zeros((NI2, k), dtype=np.int64)
+        ic1[I1_M] = m1
+        ic2[I2_M] = m2
+        for j, mj in enumerate(b2):
+            minv = pow(M, -1, mj)
+            m2dj_inv = pow(M2 // mj, -1, mj)
+            ic2[I2_U0, j] = minv
+            ic2[I2_U1, j] = ((1 << CHUNK) * minv) % mj
+            ic2[I2_K30, j] = m2dj_inv
+            ic2[I2_K31, j] = ((1 << CHUNK) * m2dj_inv) % mj
+        for i, mi in enumerate(b1):
+            ic1[I1_M2M, i] = M2 % mi
+            ic1[I1_ENTRY, i] = self.m2_mod_n % mi
+            ic1[I1_ONEM, i] = self.onem_int % mi
+            ic1[I1_ONE, i] = 1
+        for j, mj in enumerate(b2):
+            ic2[I2_ENTRY, j] = self.m2_mod_n % mj
+            ic2[I2_ONEM, j] = self.onem_int % mj
+            ic2[I2_ONE, j] = 1
+
+        def lohi(T: np.ndarray):
+            lo = (T & ((1 << CHUNK) - 1)).astype(np.int8)
+            hi = (T >> CHUNK).astype(np.int8)
+            return lo, hi
+
+        # ext1 rows (c, i in B1) -> cols j in B2:
+        #   A[(c,i), j] = (w_ci * (M/m_i) * N * M^-1) mod m'_j,
+        #   w_ci = (2^(7c) * k1_i) mod m_i, k1_i = (-N^-1 (M/m_i)^-1) mod m_i
+        T1 = np.zeros((2 * k, k), dtype=np.int64)
+        for i, mi in enumerate(b1):
+            Mdi = M // mi
+            k1 = (pow(-N, -1, mi) * pow(Mdi, -1, mi)) % mi
+            w0 = k1
+            w1 = ((1 << CHUNK) * k1) % mi
+            for j, mj in enumerate(b2):
+                base = (Mdi % mj) * (N % mj) % mj * pow(M, -1, mj) % mj
+                T1[i, j] = (w0 * base) % mj
+                T1[k + i, j] = (w1 * base) % mj
+        e1lo, e1hi = lohi(T1)
+
+        # ext2 rows (c, j in B2) -> cols i in B1: (2^(7c) * (M2/m'_j)) mod m_i
+        T2 = np.zeros((2 * k, k), dtype=np.int64)
+        for j, mj in enumerate(b2):
+            M2dj = M2 // mj
+            for i, mi in enumerate(b1):
+                T2[j, i] = M2dj % mi
+                T2[k + j, i] = ((1 << CHUNK) * M2dj) % mi
+        e2lo, e2hi = lohi(T2)
+
+        return Rns2Context(
+            ic1=jnp.asarray(ic1.astype(np.int32)),
+            ic2=jnp.asarray(ic2.astype(np.int32)),
+            f1=jnp.asarray((1.0 / m1.astype(np.float64))
+                           .astype(np.float32)[None]),
+            f2=jnp.asarray((1.0 / m2.astype(np.float64))
+                           .astype(np.float32)[None]),
+            e1lo=jnp.asarray(e1lo), e1hi=jnp.asarray(e1hi),
+            e2lo=jnp.asarray(e2lo), e2hi=jnp.asarray(e2hi),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-safe math core (shared by the Pallas kernel and the jnp fallback)
+# ---------------------------------------------------------------------------
+
+def _red(v, m, inv_m):
+    """v mod m for int32 v with |v| < 2^28 (single float-reciprocal pass).
+
+    The quotient error is at most 1 (|f32(v)-v| <= 16 and m > 2^12.5 keep
+    the error below the floor-boundary slack), so two conditional fixes
+    suffice; q*m stays exact in int32.
+    """
+    q = jnp.floor(v.astype(jnp.float32) * inv_m).astype(jnp.int32)
+    r = v - q * m
+    r = jnp.where(r < 0, r + m, r)
+    r = jnp.where(r >= m, r - m, r)
+    return r
+
+
+def _chunks(v):
+    """int32 < 2^14 -> (lo7, hi7) int32 chunks."""
+    return v & ((1 << CHUNK) - 1), v >> CHUNK
+
+
+def _dot_i8(lhs_i8, rhs_i8):
+    return lax.dot_general(lhs_i8, rhs_i8,
+                           (((lhs_i8.ndim - 1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.int32)
+
+
+def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
+    """w = x*y*M^-1 mod N on residue pairs ((x1, x2), (y1, y2)).
+
+    Halves are int32 [..., k] standard-form residues of values < lambda*N.
+    Kernel-safe: offset-0 slices, concat, dot_general, elementwise only.
+    """
+    x1, x2 = x
+    y1, y2 = y
+    m1 = ctx.ic1[I1_M]
+    m2 = ctx.ic2[I2_M]
+    inv1 = ctx.f1[0]
+    inv2 = ctx.f2[0]
+
+    s1 = _red(x1 * y1, m1, inv1)                 # p mod m on B1
+    s2 = _red(x2 * y2, m2, inv2)                 # p mod m' on B2
+    a0, a1 = _chunks(s1)
+    b0, b1 = _chunks(s2)
+
+    # first extension (B1 -> B2); k1 and N*M^-1 folded into e1
+    lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
+    Plo = _dot_i8(lhs1, ctx.e1lo)
+    Phi = _dot_i8(lhs1, ctx.e1hi)
+    v = Plo + (_red(Phi, m2, inv2) << CHUNK)     # == Q*N*M^-1 mod m', < 2^25
+
+    # t1 = p_j * M^-1 mod m'_j via the chunk fold of s2
+    t1 = b0 * ctx.ic2[I2_U0] + b1 * ctx.ic2[I2_U1]
+    w2 = _red(v + t1, m2, inv2)                  # result residues on B2
+
+    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j
+    c0, c1 = _chunks(w2)
+    sg = _red(c0 * ctx.ic2[I2_K30] + c1 * ctx.ic2[I2_K31], m2, inv2)
+
+    # second extension (B2 -> B1) + cox floating alpha
+    s0, s1c = _chunks(sg)
+    lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
+    Vlo = _dot_i8(lhs2, ctx.e2lo)
+    Vhi = _dot_i8(lhs2, ctx.e2hi)
+    v1 = Vlo + (_red(Vhi, m1, inv1) << CHUNK)    # == sum sg*(M2/m') mod m_i
+
+    alpha = jnp.floor(
+        jnp.sum(sg.astype(jnp.float32) * inv2, axis=-1, keepdims=True)
+        + COX_EPS).astype(jnp.int32)
+    w1 = _red(v1 - alpha * ctx.ic1[I1_M2M], m1, inv1)
+    return w1, w2
+
+
+def _split(ctx: Rns2Context, x):
+    k = ctx.k
+    return x[..., :k], x[..., k:]
+
+
+def rns2_mont_mul_values(ctx: Rns2Context, x, y):
+    """Full-width [..., C] wrapper around the pair core (jnp paths)."""
+    w1, w2 = rns2_mont_mul_pair(ctx, _split(ctx, x), _split(ctx, y))
+    return jnp.concatenate([w1, w2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# jnp fallback exponentiation (CPU / reference path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def rns2_pow_jnp(ctx: Rns2Context, x, digits, window: int = 4):
+    """x^e mod N on residues via lax.scan (CPU/reference path).
+
+    ``digits``: int32 [D] shared or [..., D] per-element, MSB-first
+    base-2^window.  Input residues of values < lambda*N; output likewise.
+    """
+    per_element = digits.ndim > 1
+    entry = jnp.concatenate([ctx.ic1[I1_ENTRY], ctx.ic2[I2_ENTRY]])
+    onem = jnp.concatenate([ctx.ic1[I1_ONEM], ctx.ic2[I2_ONEM]])
+    one = jnp.concatenate([ctx.ic1[I1_ONE], ctx.ic2[I2_ONE]])
+
+    xm = rns2_mont_mul_values(ctx, x, jnp.broadcast_to(entry, x.shape))
+    one_m = jnp.broadcast_to(onem, x.shape)
+
+    entries = [one_m, xm]
+    for _ in range(2, 1 << window):
+        entries.append(rns2_mont_mul_values(ctx, entries[-1], xm))
+    tbl = jnp.stack(entries, axis=0)
+
+    def body(acc, d):
+        for _ in range(window):
+            acc = rns2_mont_mul_values(ctx, acc, acc)
+        if per_element:
+            t = jnp.take_along_axis(tbl, d[None, ..., None], axis=0)[0]
+        else:
+            t = jnp.take(tbl, d, axis=0)
+        return rns2_mont_mul_values(ctx, acc, t), None
+
+    acc0 = one_m + x * 0
+    if per_element:
+        acc0 = acc0 + (digits[..., :1] * 0)
+    scan_d = jnp.moveaxis(digits, -1, 0) if per_element else digits
+    acc, _ = lax.scan(body, acc0, scan_d)
+    return rns2_mont_mul_values(ctx, acc, jnp.broadcast_to(one, acc.shape))
+
+
+def rns2_pow(ctx: Rns2Context, x, digits, window: int = 4):
+    """Dispatcher: fused Pallas kernel on TPU, jnp scan elsewhere."""
+    if jax.default_backend() != "cpu":
+        from .pallas_rns2 import rns2_pow_pallas
+        return rns2_pow_pallas(ctx, x, digits, window)
+    return rns2_pow_jnp(ctx, x, digits, window)
+
+
+# ---------------------------------------------------------------------------
+# Device limb <-> residue conversion (int8 matmuls, exact int32 accum)
+# ---------------------------------------------------------------------------
+
+class Rns2Converter:
+    """Bidirectional limb-vector <-> RNS-residue conversion on device.
+
+    forward: 7-bit chunks of the 16-bit limbs against the power matrix
+    chunk((2^(7c+16l)) mod m_i); int8 dot, exact int32 sums, one
+    channel reduction.
+
+    reverse: exact B1 digits eta_i, then an int8 dot against the 7-bit
+    column chunks of the limb decompositions of (M/m_i); the alpha*M
+    overshoot is fixed with a cox float estimate plus +-M corrections.
+    """
+
+    def __init__(self, spec: Rns2Spec, ctx: Rns2Context, n_limbs: int):
+        self.spec = spec
+        self.ctx = ctx
+        self.L = n_limbs
+        k, C = spec.k, spec.C
+        mask = (1 << CHUNK) - 1
+
+        # forward matrix: rows = 3 chunk blocks x L limbs, cols = (lo|hi) x C
+        P = np.zeros((n_limbs, C), dtype=np.int64)
+        for i, mi in enumerate(spec.all_m):
+            val, step = 1 % mi, pow(2, 16, mi)
+            for l in range(n_limbs):
+                P[l, i] = val
+                val = (val * step) % mi
+        rows = []
+        for shift in (0, CHUNK, 2 * CHUNK):
+            A = (P << shift) % np.asarray(spec.all_m)[None, :]
+            rows.append(np.concatenate([A & mask, A >> CHUNK], axis=1))
+        self.fwd = jnp.asarray(np.concatenate(rows, axis=0).astype(np.int8))
+        self.all_m_dev = jnp.asarray(np.asarray(spec.all_m, dtype=np.int32))
+        self.all_inv_dev = jnp.asarray(
+            (1.0 / np.asarray(spec.all_m, dtype=np.float64))
+            .astype(np.float32))
+
+        # reverse: eta weights and (M/m_i) limb chunk matrix over B1
+        ML = max(n_limbs, (spec.M.bit_length() + 15) // 16)
+        self.ML = ML
+        w = np.zeros(k, np.int64)
+        for i, mi in enumerate(spec.b1):
+            w[i] = pow(spec.M // mi, -1, mi)
+        self.w0 = jnp.asarray(w.astype(np.int32))
+        self.w1 = jnp.asarray((((1 << CHUNK) * w)
+                               % np.asarray(spec.b1)).astype(np.int32))
+        rows = []
+        for shift in (0, CHUNK):
+            W = np.zeros((k, ML), dtype=np.int64)
+            for i, mi in enumerate(spec.b1):
+                W[i] = host.int_to_limbs((spec.M // mi) << shift, ML
+                                         ).astype(np.int64)
+            rows.append(np.concatenate(
+                [W & mask, (W >> CHUNK) & mask, W >> (2 * CHUNK)], axis=1))
+        self.rev = jnp.asarray(np.concatenate(rows, axis=0).astype(np.int8))
+        self.inv_b1 = jnp.asarray(
+            (1.0 / np.asarray(spec.b1, dtype=np.float64)).astype(np.float32))
+        self.M_limbs = jnp.asarray(host.int_to_limbs(spec.M, ML))
+
+    def from_limbs(self, x: jnp.ndarray) -> jnp.ndarray:
+        """uint32 limbs [..., L] -> standard residues int32 [..., C]."""
+        return _rns2_from_limbs(self.fwd, self.all_m_dev, self.all_inv_dev, x)
+
+    def to_limbs(self, x: jnp.ndarray) -> jnp.ndarray:
+        """residues [..., C] -> uint32 limbs [..., ML] of the exact
+        value (< M)."""
+        return _rns2_to_limbs(self.ctx, self.rev, self.w0, self.w1,
+                              self.inv_b1, self.M_limbs, x)
+
+
+@jax.jit
+def _rns2_from_limbs(fwd, all_m, all_inv, x):
+    mask = (1 << CHUNK) - 1
+    xi = x.astype(jnp.int32)
+    lhs = jnp.concatenate([xi & mask, (xi >> CHUNK) & mask,
+                           xi >> (2 * CHUNK)], axis=-1).astype(jnp.int8)
+    P = lax.dot_general(lhs, fwd, (((lhs.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    C = P.shape[-1] // 2
+    vhi = _red(P[..., C:], all_m, all_inv)
+    return _red(P[..., :C] + (vhi << CHUNK), all_m, all_inv)
+
+
+@jax.jit
+def _rns2_to_limbs(ctx: Rns2Context, rev, w0, w1, inv_b1, M_limbs, x):
+    from . import vpu
+    k = ctx.k
+    m1 = ctx.ic1[I1_M]
+    inv1 = ctx.f1[0]
+    x1 = x[..., :k]
+    c0, c1 = _chunks(x1)
+    eta = _red(c0 * w0 + c1 * w1, m1, inv1)
+    e0, e1 = _chunks(eta)
+    lhs = jnp.concatenate([e0, e1], axis=-1).astype(jnp.int8)
+    P = lax.dot_general(lhs, rev, (((lhs.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    ML = P.shape[-1] // 3
+    # combine the three chunk column blocks without overflowing the < 2^31
+    # bound vpu.normalize needs: route the high bits of the shifted blocks
+    # into the next limb (weight 2^16) instead of shifting in place.
+    P0 = P[..., :ML].astype(jnp.uint32)
+    P1 = P[..., ML:2 * ML].astype(jnp.uint32)
+    P2 = P[..., 2 * ML:].astype(jnp.uint32)
+    lo = P0 + ((P1 & 0x1FF) << CHUNK) + ((P2 & 0x3) << (2 * CHUNK))
+    hi = (P1 >> 9) + (P2 >> 2)            # units of 2^16: next limb up
+    hi_shift = jnp.concatenate(
+        [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+    total = vpu.normalize(lo + hi_shift)
+    frac = jnp.sum(eta.astype(jnp.float32) * inv_b1, axis=-1)
+    alpha = jnp.floor(frac + 0.5 ** 12).astype(jnp.uint32)
+    aM = vpu.mul(alpha[..., None], M_limbs, ML)
+    cand, borrow = vpu.sub(total, aM)
+    fixed_up, _ = vpu.add(cand, jnp.broadcast_to(M_limbs, cand.shape))
+    cand = jnp.where(borrow[..., None] != 0, fixed_up, cand)
+    return vpu.cond_sub(cand, jnp.broadcast_to(M_limbs, cand.shape))
+
+
+# ---------------------------------------------------------------------------
+# Engine facade
+# ---------------------------------------------------------------------------
+
+class Rns2Engine:
+    """User-facing v2 engine for one modulus N."""
+
+    def __init__(self, n_modulus: int, n_limbs: int | None = None):
+        self.spec = Rns2Spec(n_modulus)
+        self.ctx = self.spec.build_context()
+        L = n_limbs or host.limbs_for_bits(n_modulus.bit_length())
+        self.converter = Rns2Converter(self.spec, self.ctx, L)
+        self.m2_rns = jnp.concatenate([self.ctx.ic1[I1_ENTRY],
+                                       self.ctx.ic2[I2_ENTRY]])
+
+    def encode(self, values) -> jnp.ndarray:
+        return jnp.asarray(self.spec.encode(list(values)))
+
+    def decode(self, residues) -> list:
+        return self.spec.decode(np.asarray(jax.device_get(residues)))
+
+    def from_limbs(self, x):
+        return self.converter.from_limbs(x)
+
+    def to_limbs(self, x):
+        return self.converter.to_limbs(x)
+
+    def mont_mul(self, x, y):
+        return rns2_mont_mul_values(self.ctx, x, y)
+
+    def mul(self, x, y):
+        """Plain modular product (fix the M^-1 with the entry factor)."""
+        t = rns2_mont_mul_values(self.ctx, x, y)
+        return rns2_mont_mul_values(
+            self.ctx, t, jnp.broadcast_to(self.m2_rns, t.shape))
+
+    def pow(self, x, digits, window: int = 4):
+        return rns2_pow(self.ctx, x, digits, window)

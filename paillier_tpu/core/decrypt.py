@@ -46,17 +46,14 @@ def decrypt_kernel(dk: DeviceKey, c: jnp.ndarray, level: int,
     return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
 
 
-def decrypt_kernel_rns(dk: DeviceKey, eng, conv, c: jnp.ndarray, level: int,
+def decrypt_kernel_rns(dk: DeviceKey, eng, c: jnp.ndarray, level: int,
                        lam_digits: jnp.ndarray, mu_limbs: jnp.ndarray,
                        inv2fac_n2: jnp.ndarray, window: int = 4
                        ) -> jnp.ndarray:
     """Generic decryption with c^lambda on the RNS engine."""
-    from ..bigint.rns import _rns_pow
     ctx = dk.ctx_for_level(level)
-    c_rns = conv.from_limbs(c)
-    t_rns = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
-                     c_rns, lam_digits, window)
-    tmp = mont.mod_wide_any(ctx, conv.to_limbs(t_rns))
+    t_rns = eng.pow(eng.from_limbs(c), lam_digits, window)
+    tmp = mont.mod_wide_any(ctx, eng.to_limbs(t_rns))
     return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
 
 
@@ -134,12 +131,9 @@ def crt_decrypt_kernel(dk: DeviceKey, c: jnp.ndarray,
     def half(ctx2, ctx1, e_digits, hensel, hfac, rns_half):
         cm = mont.mod_wide(ctx2, c[..., :2 * Lh])
         if rns_half is not None:
-            from ..bigint.rns import _rns_pow
-            eng, conv = rns_half
-            u_rns = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns,
-                             eng.mmodn_rns, conv.from_limbs(cm),
-                             e_digits, window)
-            u = mont.mod_wide_any(ctx2, conv.to_limbs(u_rns))
+            eng = rns_half
+            u_rns = eng.pow(eng.from_limbs(cm), e_digits, window)
+            u = mont.mod_wide_any(ctx2, eng.to_limbs(u_rns))
         else:
             u = mont.mont_pow_digits(ctx2, cm, e_digits, window)
         one = jnp.zeros_like(u).at[..., 0].set(1)
@@ -213,11 +207,8 @@ class Decryptor:
             pl = jnp.asarray(host.int_to_limbs(p, Lp))
             rns_halves = None
             if self.dk.use_rns() and engine != "limb":
-                from ..bigint.rns import RnsConverter, RnsEngine
-                eng_p = RnsEngine(cc.p2)
-                eng_q = RnsEngine(cc.q2)
-                rns_halves = ((eng_p, RnsConverter(eng_p, Lh)),
-                              (eng_q, RnsConverter(eng_q, Lh)))
+                from ..bigint.engine import make_engine
+                rns_halves = (make_engine(cc.p2, Lh), make_engine(cc.q2, Lh))
             self._fn = jax.jit(lambda c: crt_decrypt_kernel(
                 self.dk, c, ctx_p2, ctx_q2, ctx_p, ctx_q, ep, eq,
                 ph, qh, hp, hq, piq, pl, window, rns_halves))
@@ -231,9 +222,9 @@ class Decryptor:
             inv2fac = jnp.asarray(host.int_to_limbs(
                 (sk.n * pow(2, -1, sk.n2)) % sk.n2, 2 * L))
             if engine == "rns":
-                eng, conv = self.dk.rns(level)
+                eng = self.dk.rns(level)
                 self._fn = jax.jit(lambda c: decrypt_kernel_rns(
-                    self.dk, eng, conv, c, level, lam_digits, mu, inv2fac,
+                    self.dk, eng, c, level, lam_digits, mu, inv2fac,
                     window))
             else:
                 self._fn = jax.jit(lambda c: decrypt_kernel(

@@ -81,24 +81,18 @@ def encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray, r: jnp.ndarray,
     return mont.modmul(ctx, gm, rn)
 
 
-def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, conv, m: jnp.ndarray,
+def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, m: jnp.ndarray,
                               r: jnp.ndarray, level: int,
                               ns_digits: jnp.ndarray,
                               window: int = 4) -> jnp.ndarray:
     """RNS fast path: r^(n^s) runs in the Cox-Rower engine (MXU base
     extensions), G^m via the limb binomial shortcut; outputs are
     bit-identical to the limb path."""
-    from ..bigint.rns import _rns_pow, rns_mont_mul
     ctx = dk.ctx_for_level(level)
     gm = gm_binomial(dk, m, level)
-    gm_rns = conv.from_limbs(gm)
-    r_rns = conv.from_limbs(r)
-    rn = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
-                  r_rns, ns_digits, window)
-    t = rns_mont_mul(eng.ctx, gm_rns, rn)
-    c_rns = rns_mont_mul(eng.ctx, t, jnp.broadcast_to(eng.m2_rns, t.shape))
-    wide = conv.to_limbs(c_rns)
-    return mont.mod_wide_any(ctx, wide)
+    rn = eng.pow(eng.from_limbs(r), ns_digits, window)
+    c_rns = eng.mul(eng.from_limbs(gm), rn)
+    return mont.mod_wide_any(ctx, eng.to_limbs(c_rns))
 
 
 def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
@@ -148,10 +142,10 @@ class Encryptor:
                 nd = mont.n_digits_for_bits(ns.bit_length(), window)
                 ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))
                 if engine == "rns":
-                    eng, conv = self.dk.rns(level)
+                    eng = self.dk.rns(level)
                     self.dk.jit_cache[cache_key] = jax.jit(
                         lambda m, r: encrypt_with_r_rns_kernel(
-                            self.dk, eng, conv, m, r, level, ns_digits,
+                            self.dk, eng, m, r, level, ns_digits,
                             window))
                 else:
                     self.dk.jit_cache[cache_key] = jax.jit(

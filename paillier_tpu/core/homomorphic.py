@@ -127,21 +127,20 @@ def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0,
         engine = "rns" if dk.use_rns() else "limb"
 
     if engine == "rns":
-        from ..bigint.rns import rns_mont_mul
-        eng, conv = dk.rns(ct.level)
-        x = conv.from_limbs(c)
+        eng = dk.rns(ct.level)
+        x = eng.from_limbs(c)
         while x.shape[0] > 1:
             if x.shape[0] % 2:
                 one = jnp.asarray(eng.spec.encode([1]))
                 x = jnp.concatenate([x, one], axis=0)
-            x = rns_mont_mul(eng.ctx, x[0::2], x[1::2])
+            x = eng.mont_mul(x[0::2], x[1::2])
         # each tree multiply divides by M; restore with one more mult
         t_pow = _tree_r_power(m)
         fix = jnp.asarray(eng.spec.encode(
             [pow(eng.spec.M, t_pow + 1, mod)]))[0]
-        out_rns = rns_mont_mul(eng.ctx, x[0], fix)
+        out_rns = eng.mont_mul(x[0], fix)
         out = mont.mod_wide_any(dk.ctx_for_level(ct.level),
-                                conv.to_limbs(out_rns[None]))[0]
+                                eng.to_limbs(out_rns[None]))[0]
         return Ciphertext(c=out, level=ct.level, method=MIXED)
 
     ctx = dk.ctx_for_level(ct.level)

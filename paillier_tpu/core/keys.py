@@ -138,16 +138,15 @@ class DeviceKey:
         self._rns: dict = {}
 
     def rns(self, level: int):
-        """(RnsEngine, RnsConverter) for modulus n^(s+1), cached.
+        """Unified RNS engine for modulus n^(s+1), cached.
 
         Built eagerly (host-side prime search + CRT matrices) — never call
         for the first time inside a jit trace.
         """
         if level not in self._rns:
-            from ..bigint.rns import RnsConverter, RnsEngine
-            eng = RnsEngine(self.pk.modulus_for_level(level))
-            conv = RnsConverter(eng, self.limbs_for_level(level))
-            self._rns[level] = (eng, conv)
+            from ..bigint.engine import make_engine
+            self._rns[level] = make_engine(self.pk.modulus_for_level(level),
+                                           self.limbs_for_level(level))
         return self._rns[level]
 
     def use_rns(self) -> bool:
@@ -164,13 +163,10 @@ class DeviceKey:
         """
         from ..bigint import montgomery as mont
         if self.use_rns():
-            from ..bigint.rns import _rns_pow
-            eng, conv = self.rns(level)
-            r = conv.from_limbs(base)
-            out = _rns_pow(eng.ctx, eng.m2_rns, eng.one_rns, eng.mmodn_rns,
-                           r, digits, window)
+            eng = self.rns(level)
+            out = eng.pow(eng.from_limbs(base), digits, window)
             return mont.mod_wide_any(self.ctx_for_level(level),
-                                     conv.to_limbs(out))
+                                     eng.to_limbs(out))
         return mont.mont_pow_digits(self.ctx_for_level(level), base,
                                     digits, window)
 

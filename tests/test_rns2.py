@@ -1,0 +1,113 @@
+"""RNS-v2 engine tests: parity of the int8-MXU Cox-Rower math against
+Python big-int arithmetic (the jnp fallback path runs on CPU; the fused
+Pallas kernel shares the exact same math core, rns2.rns2_mont_mul_pair)."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paillier_tpu.bigint import host
+from paillier_tpu.bigint import montgomery as mont
+from paillier_tpu.bigint.rns2 import Rns2Engine, rns2_pow_jnp
+
+
+@pytest.fixture(scope="module")
+def eng256():
+    random.seed(0x5EED)
+    n = random.getrandbits(256) | (1 << 255) | 1
+    return n, Rns2Engine(n)
+
+
+def test_encode_decode_roundtrip(eng256):
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(16)] + [0, 1, n - 1]
+    assert eng.decode(eng.encode(xs)) == xs
+
+
+def test_mont_mul_and_mul(eng256):
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(16)]
+    ys = [random.randrange(n) for _ in range(16)]
+    rx, ry = eng.encode(xs), eng.encode(ys)
+    minv = pow(eng.spec.M, -1, n)
+    assert eng.decode(eng.mont_mul(rx, ry)) == [
+        (x * y * minv) % n for x, y in zip(xs, ys)]
+    assert eng.decode(eng.mul(rx, ry)) == [
+        (x * y) % n for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("window", [3, 4])
+def test_pow_shared_exponent(eng256, window):
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(8)]
+    e = random.getrandbits(200)
+    nd = mont.n_digits_for_bits(e.bit_length(), window)
+    digits = jnp.asarray(mont.exp_digits(e, window, nd))
+    out = rns2_pow_jnp(eng.ctx, eng.encode(xs), digits, window)
+    assert eng.decode(out) == [pow(x, e, n) for x in xs]
+
+
+def test_pow_per_element_exponents(eng256):
+    n, eng = eng256
+    window = 4
+    xs = [random.randrange(n) for _ in range(8)]
+    es = [random.getrandbits(128) for _ in range(8)]
+    nd = mont.n_digits_for_bits(128, window)
+    digits = jnp.asarray(
+        np.stack([mont.exp_digits(e, window, nd) for e in es]))
+    out = rns2_pow_jnp(eng.ctx, eng.encode(xs), digits, window)
+    assert eng.decode(out) == [pow(x, e, n) for x, e in zip(xs, es)]
+
+
+def test_limb_conversion_roundtrip(eng256):
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(8)] + [0, 1, n - 1]
+    L = host.limbs_for_bits(256)
+    xl = jnp.asarray(host.ints_to_limbs(xs, L))
+    r = eng.from_limbs(xl)
+    assert eng.decode(r) == xs
+    back = eng.to_limbs(r)
+    assert host.limbs_to_ints(np.asarray(back)) == xs
+
+
+def test_pow_result_exact_in_limb_domain(eng256):
+    """to_limbs of a pow output (< lambda*N) is an exact representative."""
+    n, eng = eng256
+    window = 4
+    xs = [random.randrange(n) for _ in range(8)]
+    e = random.getrandbits(256)
+    nd = mont.n_digits_for_bits(e.bit_length(), window)
+    out = rns2_pow_jnp(eng.ctx, eng.encode(xs),
+                       jnp.asarray(mont.exp_digits(e, window, nd)), window)
+    vals = host.limbs_to_ints(np.asarray(eng.to_limbs(out)))
+    assert [v % n for v in vals] == [pow(x, e, n) for x in xs]
+
+
+def test_spec_invariants(eng256):
+    n, eng = eng256
+    s = eng.spec
+    lam = s.lam
+    assert s.M >= lam * lam * n            # first-base range closure
+    assert s.M2 >= 8 * lam * n             # cox fraction margin
+    assert len(set(s.all_m)) == len(s.all_m)
+    assert all(m < (1 << 14) for m in s.all_m)
+    assert s.k % 64 == 0
+
+
+def test_engine_dispatch_unified_api():
+    from paillier_tpu.bigint.engine import make_engine
+    random.seed(3)
+    n = random.getrandbits(192) | (1 << 191) | 1
+    for kind in ("rns2", "rns"):
+        eng = make_engine(n, host.limbs_for_bits(192), kind)
+        xs = [random.randrange(n) for _ in range(4)]
+        L = host.limbs_for_bits(192)
+        xl = jnp.asarray(host.ints_to_limbs(xs, L))
+        e = random.getrandbits(64)
+        nd = mont.n_digits_for_bits(64, 4)
+        digits = jnp.asarray(mont.exp_digits(e, 4, nd))
+        out = eng.pow(eng.from_limbs(xl), digits, 4)
+        vals = host.limbs_to_ints(np.asarray(eng.to_limbs(out)))
+        assert [v % n for v in vals] == [pow(x, e, n) for x in xs], kind
