@@ -54,6 +54,27 @@ def bench_encrypt(bits=2048, batch=4096, window=4, engine="auto"):
     return batch / t
 
 
+def bench_encrypt_alt(bits=2048, batch=4096, window=4):
+    """Damgard-Jurik alternative encryption (h_s^r, short randomness;
+    reference: paillier.go:221-238) via the fixed-base comb kernel."""
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import ALTERNATIVE, LEVEL_ONE, encode_batch
+    import numpy as np
+    from paillier_tpu.bigint import montgomery as mont
+    sk, pk, rng = _key(bits)
+    dk = pk.device()
+    enc = Encryptor(pk, LEVEL_ONE, method=ALTERNATIVE, window=window,
+                    rng=rng)
+    print(f"# engine: {enc.engine}", file=sys.stderr)
+    ms = [rng.randrange(pk.n) for _ in range(batch)]
+    rs = [rng.randrange(pk.k) for _ in range(batch)]
+    m = encode_batch(ms, dk.L)
+    nd = mont.n_digits_for_bits(enc._r_bits, window)
+    rd = jnp.asarray(np.stack([mont.exp_digits(r, window, nd) for r in rs]))
+    t = _time(enc._fn, m, rd)
+    return batch / t
+
+
 def bench_decrypt_crt(bits=2048, batch=4096, window=4):
     from paillier_tpu.core.decrypt import Decryptor
     from paillier_tpu.core.encrypt import Encryptor
@@ -156,11 +177,16 @@ def emit(metric, value, unit, baseline):
 def main():
     args = sys.argv[1:] or ["enc2048"]
     if args == ["all"]:
-        args = ["enc2048", "enc1024", "dec2048", "agg", "threshold", "ddleq"]
+        args = ["enc2048", "enc2048alt", "enc1024", "dec2048", "agg",
+                "threshold", "ddleq"]
     for a in args:
         if a == "enc2048":
             v = bench_encrypt(2048)
             emit("2048-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
+        elif a == "enc2048alt":
+            v = bench_encrypt_alt(2048)
+            emit("2048-bit DJ-alternative encryptions/sec/chip", v, "enc/s",
+                 100_000)
         elif a == "enc1024":
             v = bench_encrypt(1024)
             emit("1024-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)

@@ -33,16 +33,22 @@ class _V1Engine:
     """Adapter giving the v1 (bf16 Cox-Rower) engine the unified API."""
 
     def __init__(self, n_modulus: int, n_limbs: int):
+        from .limbmm import BarrettPlan
         from .rns import RnsConverter, RnsEngine
         self._eng = RnsEngine(n_modulus)
         self._conv = RnsConverter(self._eng, n_limbs)
         self.spec = self._eng.spec
+        self.barrett = BarrettPlan.build(n_modulus)
 
     def from_limbs(self, x):
         return self._conv.from_limbs(x)
 
     def to_limbs(self, x):
         return self._conv.to_limbs(x)
+
+    def to_limbs_mod(self, x):
+        from .limbmm import barrett_small
+        return barrett_small(self._conv.to_limbs(x), self.barrett)
 
     def pow(self, x, digits, window: int = 4):
         from .rns import _rns_pow

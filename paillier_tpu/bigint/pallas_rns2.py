@@ -32,14 +32,18 @@ from .rns2 import (I1_ENTRY, I1_ONE, I1_ONEM, I2_ENTRY, I2_ONE, I2_ONEM,
                    Rns2Context, rns2_mont_mul_pair)
 
 
+def _ctx_from_refs(ic1, ic2, f1, f2, e1lo, e1hi, e2lo, e2hi):
+    return Rns2Context(ic1=ic1[...], ic2=ic2[...], f1=f1[...], f2=f2[...],
+                       e1lo=e1lo[...], e1hi=e1hi[...],
+                       e2lo=e2lo[...], e2hi=e2hi[...])
+
+
 def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
                    e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
                    o1_ref, o2_ref, tbl1, tbl2, *,
                    window, n_digits, per_element):
-    ctx = Rns2Context(ic1=ic1_ref[...], ic2=ic2_ref[...],
-                      f1=f1_ref[...], f2=f2_ref[...],
-                      e1lo=e1lo_ref[...], e1hi=e1hi_ref[...],
-                      e2lo=e2lo_ref[...], e2hi=e2hi_ref[...])
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -154,3 +158,97 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
       ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base comb kernel (zero squarings)
+# ---------------------------------------------------------------------------
+
+def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
+                       f1_ref, f2_ref, e1lo_ref, e1hi_ref, e2lo_ref,
+                       e2hi_ref, o1_ref, o2_ref, acc1, acc2, *,
+                       window, n_digits):
+    """Grid (batch_block, digit_step): the comb table block for this digit
+    is streamed into VMEM by the pipeline while the accumulator persists
+    in scratch across the digit steps of one batch block."""
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+    j = pl.program_id(1)
+    # column j of the digit block via an iota mask (Mosaic has no dynamic
+    # lane slicing on values)
+    dall = dig_ref[...]                                # [Bblk, D] int32
+    lane = lax.broadcasted_iota(jnp.int32, dall.shape, 1)
+    d = jnp.sum(jnp.where(lane == j, dall, 0), axis=1)  # [Bblk]
+
+    t1 = jnp.zeros((d.shape[0], t1_ref.shape[-1]), jnp.int32)
+    t2 = jnp.zeros((d.shape[0], t2_ref.shape[-1]), jnp.int32)
+    for v in range(1 << window):
+        sel = (d == v)[:, None]
+        t1 = jnp.where(sel, t1_ref[v], t1)
+        t2 = jnp.where(sel, t2_ref[v], t2)
+
+    @pl.when(j == 0)
+    def _():
+        acc1[...] = t1
+        acc2[...] = t2
+
+    @pl.when(j > 0)
+    def _():
+        w1, w2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), (t1, t2))
+        acc1[...] = w1
+        acc2[...] = w2
+
+    @pl.when(j == n_digits - 1)
+    def _():
+        one = (jnp.broadcast_to(ctx.ic1[I1_ONE], acc1.shape),
+               jnp.broadcast_to(ctx.ic2[I2_ONE], acc2.shape))
+        o1, o2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), one)
+        o1_ref[...] = o1
+        o2_ref[...] = o2
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block"))
+def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
+                               digits: jnp.ndarray, window: int = 4,
+                               block: int | None = None) -> jnp.ndarray:
+    """base^e via the comb table (rns2.build_fixed_base_table).
+
+    table: int32 [D*2^w, C] Montgomery-form residues; digits: int32 [B, D]
+    per-element MSB-first.  D-1 Montgomery multiplies, zero squarings.
+    """
+    B, D = digits.shape
+    C = table.shape[-1]
+    k = C // 2
+    blk = block or max(8, min(512, B))
+    while B % blk:
+        blk -= 8
+
+    t1 = table[:, :k]
+    t2 = table[:, k:]
+    dig_arr = digits.astype(jnp.int32)                         # [B, D]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(((1 << window), k), lambda b, j: (j, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((blk, k), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fixed_base_kernel, window=window,
+                               n_digits=D)
+    o1, o2 = pl.pallas_call(
+        kernel,
+        grid=(B // blk, D),
+        in_specs=[pl.BlockSpec((blk, D), lambda b, j: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  tspec, tspec,
+                  full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
+                  full(ctx.e1lo), full(ctx.e1hi),
+                  full(ctx.e2lo), full(ctx.e2hi)],
+        out_specs=(ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
+                   jax.ShapeDtypeStruct((B, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((blk, k), jnp.int32),
+                        pltpu.VMEM((blk, k), jnp.int32)],
+    )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+    return jnp.concatenate([o1, o2], axis=-1)

@@ -362,6 +362,72 @@ def rns2_pow(ctx: Rns2Context, x, digits, window: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Fixed-base exponentiation (comb method: zero squarings)
+# ---------------------------------------------------------------------------
+
+def build_fixed_base_table(eng: "Rns2Engine", base_int: int, n_digits: int,
+                           window: int = 4) -> jnp.ndarray:
+    """Residue table T[step*2^w + d] = (base^(d * 2^(w*(D-1-step))) * M)
+    mod N in Montgomery form, step 0 = most-significant digit.
+
+    With this table a fixed-base power is D-1 Montgomery multiplies and
+    zero squarings — the comb method for Damgard-Jurik "alternative"
+    encryption h_s^r (reference: paillier.go:221-238), where the base is
+    the public h_s and only the short exponent r varies per element.
+    """
+    spec = eng.spec
+    N, M = spec.N, spec.M
+    g = [base_int % N]
+    for _ in range(1, n_digits):
+        x = g[-1]
+        for _ in range(window):
+            x = (x * x) % N
+        g.append(x)
+    vals = []
+    for step in range(n_digits):
+        gi = g[n_digits - 1 - step]
+        cur = M % N                      # d=0 -> 1 in Montgomery form
+        gim = gi
+        for d in range(1 << window):
+            vals.append(cur)
+            cur = (cur * gim) % N
+    limbs = jnp.asarray(host.ints_to_limbs(vals, eng.converter.L))
+    return eng.from_limbs(limbs)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def rns2_pow_fixed_base_jnp(ctx: Rns2Context, table, digits,
+                            window: int = 4):
+    """Fixed-base power via the comb table (CPU/reference path).
+
+    table: int32 [D*2^w, C] from build_fixed_base_table (Montgomery form);
+    digits: int32 [B, D] per-element MSB-first.  Returns standard-form
+    residues of base^e (< lambda*N).
+    """
+    D = digits.shape[-1]
+    tbl = table.reshape((D, 1 << window, table.shape[-1]))
+    one = jnp.concatenate([ctx.ic1[I1_ONE], ctx.ic2[I2_ONE]])
+    dsteps = jnp.moveaxis(digits, -1, 0)            # [D, ...]
+
+    acc0 = jnp.take(tbl[0], dsteps[0], axis=0)      # [..., C]
+
+    def body(acc, xs):
+        tstep, d = xs
+        return rns2_mont_mul_values(ctx, acc, jnp.take(tstep, d, axis=0)), None
+
+    acc, _ = lax.scan(body, acc0, (tbl[1:], dsteps[1:]))
+    return rns2_mont_mul_values(ctx, acc, jnp.broadcast_to(one, acc.shape))
+
+
+def rns2_pow_fixed_base(ctx: Rns2Context, table, digits, window: int = 4):
+    """Dispatcher: fused comb kernel on TPU, jnp loop elsewhere."""
+    if jax.default_backend() != "cpu":
+        from .pallas_rns2 import rns2_pow_fixed_base_pallas
+        return rns2_pow_fixed_base_pallas(ctx, table, digits, window)
+    return rns2_pow_fixed_base_jnp(ctx, table, digits, window)
+
+
+# ---------------------------------------------------------------------------
 # Device limb <-> residue conversion (int8 matmuls, exact int32 accum)
 # ---------------------------------------------------------------------------
 
@@ -495,6 +561,8 @@ class Rns2Engine:
         self.converter = Rns2Converter(self.spec, self.ctx, L)
         self.m2_rns = jnp.concatenate([self.ctx.ic1[I1_ENTRY],
                                        self.ctx.ic2[I2_ENTRY]])
+        from .limbmm import BarrettPlan
+        self.barrett = BarrettPlan.build(n_modulus)
 
     def encode(self, values) -> jnp.ndarray:
         return jnp.asarray(self.spec.encode(list(values)))
@@ -507,6 +575,16 @@ class Rns2Engine:
 
     def to_limbs(self, x):
         return self.converter.to_limbs(x)
+
+    def to_limbs_mod(self, x):
+        """Residues of a value < 2^28 * N -> exact limbs of (value mod N).
+
+        Covers every engine output (invariant: values < lambda*N); one
+        int8 matmul (to_limbs) plus an O(L) small-quotient Barrett — no
+        O(L^2) limb Montgomery reduction.
+        """
+        from .limbmm import barrett_small
+        return barrett_small(self.to_limbs(x), self.barrett)
 
     def mont_mul(self, x, y):
         return rns2_mont_mul_values(self.ctx, x, y)

@@ -51,9 +51,8 @@ def decrypt_kernel_rns(dk: DeviceKey, eng, c: jnp.ndarray, level: int,
                        inv2fac_n2: jnp.ndarray, window: int = 4
                        ) -> jnp.ndarray:
     """Generic decryption with c^lambda on the RNS engine."""
-    ctx = dk.ctx_for_level(level)
     t_rns = eng.pow(eng.from_limbs(c), lam_digits, window)
-    tmp = mont.mod_wide_any(ctx, eng.to_limbs(t_rns))
+    tmp = dk._widen(eng.to_limbs_mod(t_rns), level)
     return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
 
 
@@ -112,6 +111,77 @@ class _CrtConsts:
         self.hp_int = pow((hp - 1) // p, -1, p)
         self.hq_int = pow((hq - 1) // q, -1, q)
         self.pinv_q = pow(p, -1, q)
+
+
+class _CrtMmPlans:
+    """limbmm plans for the MXU CRT decryption path (one per secret key).
+
+    Every limb-domain multiply in CRT decryption has a constant operand,
+    so each becomes one int8 Toeplitz matmul (+ small Barrett where a
+    modular result is needed) instead of an O(L)-step vpu scan.
+    """
+
+    def __init__(self, sk: SecretKey, cc: _CrtConsts, c_limbs: int):
+        from ..bigint import limbmm as lm
+        p, q = sk.p, sk.q
+        Lh = host.limbs_for_bits(max(cc.p2.bit_length(), cc.q2.bit_length()))
+        Lp = host.limbs_for_bits(max(p.bit_length(), q.bit_length()))
+        self.Lh, self.Lp = Lh, Lp
+        # c mod p^2 / q^2: fold the 2L-wide ciphertext
+        self.fold_p2 = lm.FoldPlan.build(cc.p2, c_limbs)
+        self.fold_q2 = lm.FoldPlan.build(cc.q2, c_limbs)
+        self.br_p2 = lm.BarrettPlan.build(cc.p2)
+        self.br_q2 = lm.BarrettPlan.build(cc.q2)
+        # exact division by p / q (Hensel inverse, low-truncated product)
+        self.div_p = lm.ConstMulPlan.build(
+            host.hensel_inverse(p, Lh), Lh, Lh)
+        self.div_q = lm.ConstMulPlan.build(
+            host.hensel_inverse(q, Lh), Lh, Lh)
+        # * h_p mod p, * h_q mod q (inputs are the Lp-limb L-function values)
+        self.hp = lm.ModMulConstPlan.build(cc.hp_int, p, Lp)
+        self.hq = lm.ModMulConstPlan.build(cc.hq_int, q, Lp)
+        self.br_p = lm.BarrettPlan.build(p)
+        self.br_q = lm.BarrettPlan.build(q)
+        # CRT combine: * p^-1 mod q, then * p (exact widen)
+        self.pinv_q = lm.ModMulConstPlan.build(cc.pinv_q, q, Lp)
+        self.mul_p = lm.ConstMulPlan.build(p, Lp, c_limbs // 2)
+        self.q_limbs = jnp.asarray(host.int_to_limbs(q, Lp))
+
+
+def crt_decrypt_kernel_mm(dk: DeviceKey, c: jnp.ndarray, pl: "_CrtMmPlans",
+                          eng_p, eng_q, ep_digits, eq_digits,
+                          window: int = 4) -> jnp.ndarray:
+    """MXU CRT decryption: every limb multiply is a Toeplitz matmul and
+    both half-width modexps run on the fused RNS kernel."""
+    from ..bigint import limbmm as lm
+    L = dk.L
+    Lh, Lp = pl.Lh, pl.Lp
+
+    def half(fold, br2, eng, e_digits, div, hplan, br1):
+        cm = lm.fold_mod(c, fold, br2)                       # c mod p^2
+        u = eng.pow(eng.from_limbs(cm), e_digits, window)    # c^(p-1)
+        ul = eng.to_limbs_mod(u)[..., :Lh]
+        one = jnp.zeros_like(ul).at[..., 0].set(1)
+        um1, _ = vpu.sub(ul, one)
+        lval = lm.const_mul(um1, div)[..., :Lp]              # L_p(u) < p
+        return lm.modmul_const(lval, hplan, br1)             # * h_p mod p
+
+    mp = half(pl.fold_p2, pl.br_p2, eng_p, ep_digits, pl.div_p, pl.hp,
+              pl.br_p)
+    mq = half(pl.fold_q2, pl.br_q2, eng_q, eq_digits, pl.div_q, pl.hq,
+              pl.br_q)
+
+    # m = mp + p * ((mq - mp) * p^-1 mod q)
+    qb = jnp.broadcast_to(pl.q_limbs, mp.shape)
+    mp_q = vpu.cond_sub(mp, qb)
+    diff, borrow = vpu.sub(mq, mp_q)
+    fixed, _ = vpu.add(diff, qb)
+    diff = jnp.where(borrow[..., None] != 0, fixed, diff)
+    t = lm.modmul_const(diff, pl.pinv_q, pl.br_q)
+    pt = lm.const_mul(t, pl.mul_p)                            # t * p, exact
+    m, _ = vpu.add(pt, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1)
+                               + [(0, L - mp.shape[-1])]))
+    return m
 
 
 def crt_decrypt_kernel(dk: DeviceKey, c: jnp.ndarray,
@@ -187,32 +257,38 @@ class Decryptor:
         elif self.crt:
             cc = _CrtConsts(sk)
             p, q = sk.p, sk.q
-            Lh = L  # p^2, q^2 at full-L width so c (2L limbs) reduces exactly
-            Lp = host.limbs_for_bits(max(p.bit_length(), q.bit_length()))
-            ctx_p2 = mont.make_mont_ctx(cc.p2, Lh)
-            ctx_q2 = mont.make_mont_ctx(cc.q2, Lh)
-            ctx_p = mont.make_mont_ctx(p, Lp)
-            ctx_q = mont.make_mont_ctx(q, Lp)
             nd = mont.n_digits_for_bits(max(p.bit_length(), q.bit_length()),
                                         window)
             ep = jnp.asarray(mont.exp_digits(p - 1, window, nd))
             eq = jnp.asarray(mont.exp_digits(q - 1, window, nd))
-            ph = jnp.asarray(host.int_to_limbs(
-                host.hensel_inverse(p, Lh), Lh))
-            qh = jnp.asarray(host.int_to_limbs(
-                host.hensel_inverse(q, Lh), Lh))
-            hp = jnp.asarray(host.int_to_limbs(cc.hp_int, Lp))
-            hq = jnp.asarray(host.int_to_limbs(cc.hq_int, Lp))
-            piq = jnp.asarray(host.int_to_limbs(cc.pinv_q, Lp))
-            pl = jnp.asarray(host.int_to_limbs(p, Lp))
-            rns_halves = None
             if self.dk.use_rns() and engine != "limb":
+                # MXU path: limbmm Toeplitz matmuls + fused RNS modexps
                 from ..bigint.engine import make_engine
-                rns_halves = (make_engine(cc.p2, Lh), make_engine(cc.q2, Lh))
-            self._fn = jax.jit(lambda c: crt_decrypt_kernel(
-                self.dk, c, ctx_p2, ctx_q2, ctx_p, ctx_q, ep, eq,
-                ph, qh, hp, hq, piq, pl, window, rns_halves))
-            self.dk.jit_cache[cache_key] = self._fn
+                plans = _CrtMmPlans(sk, cc, 2 * L)
+                eng_p = make_engine(cc.p2, plans.Lh)
+                eng_q = make_engine(cc.q2, plans.Lh)
+                self._fn = jax.jit(lambda c: crt_decrypt_kernel_mm(
+                    self.dk, c, plans, eng_p, eng_q, ep, eq, window))
+                self.dk.jit_cache[cache_key] = self._fn
+            else:
+                Lh = L  # p^2, q^2 at full-L width: c (2L limbs) reduces exactly
+                Lp = host.limbs_for_bits(max(p.bit_length(), q.bit_length()))
+                ctx_p2 = mont.make_mont_ctx(cc.p2, Lh)
+                ctx_q2 = mont.make_mont_ctx(cc.q2, Lh)
+                ctx_p = mont.make_mont_ctx(p, Lp)
+                ctx_q = mont.make_mont_ctx(q, Lp)
+                ph = jnp.asarray(host.int_to_limbs(
+                    host.hensel_inverse(p, Lh), Lh))
+                qh = jnp.asarray(host.int_to_limbs(
+                    host.hensel_inverse(q, Lh), Lh))
+                hp = jnp.asarray(host.int_to_limbs(cc.hp_int, Lp))
+                hq = jnp.asarray(host.int_to_limbs(cc.hq_int, Lp))
+                piq = jnp.asarray(host.int_to_limbs(cc.pinv_q, Lp))
+                pl = jnp.asarray(host.int_to_limbs(p, Lp))
+                self._fn = jax.jit(lambda c: crt_decrypt_kernel(
+                    self.dk, c, ctx_p2, ctx_q2, ctx_p, ctx_q, ep, eq,
+                    ph, qh, hp, hq, piq, pl, window, None))
+                self.dk.jit_cache[cache_key] = self._fn
         else:
             ns = sk.n ** s
             nd = mont.n_digits_for_bits(sk.lam.bit_length(), window)

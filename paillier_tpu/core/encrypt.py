@@ -43,8 +43,14 @@ def gm_binomial(dk: DeviceKey, m: jnp.ndarray, level: int) -> jnp.ndarray:
     """
     L = dk.L
     if level == LEVEL_ONE:
-        # m: [..., L] < n ; c = 1 + m*n at width 2L
-        t = vpu.mul(m, dk.ctx_n.n, 2 * L)
+        # m: [..., L] < n ; c = 1 + m*n at width 2L.  On accelerators the
+        # constant-operand multiply rides the MXU as a Toeplitz matmul
+        # (limbmm) instead of the O(L)-step vpu scan.
+        if dk.use_rns():
+            from ..bigint.limbmm import const_mul
+            t = const_mul(m, dk.constmul_n())
+        else:
+            t = vpu.mul(m, dk.ctx_n.n, 2 * L)
         c, _ = vpu.add(t, jnp.zeros_like(t).at[..., 0].set(1))
         return c
     # level 2: m: [..., 2L] < n^2
@@ -88,11 +94,10 @@ def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, m: jnp.ndarray,
     """RNS fast path: r^(n^s) runs in the Cox-Rower engine (MXU base
     extensions), G^m via the limb binomial shortcut; outputs are
     bit-identical to the limb path."""
-    ctx = dk.ctx_for_level(level)
     gm = gm_binomial(dk, m, level)
     rn = eng.pow(eng.from_limbs(r), ns_digits, window)
     c_rns = eng.mul(eng.from_limbs(gm), rn)
-    return mont.mod_wide_any(ctx, eng.to_limbs(c_rns))
+    return dk._widen(eng.to_limbs_mod(c_rns), level)
 
 
 def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
@@ -104,6 +109,20 @@ def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
     hs = dk.hs_for_level(level)
     hr = mont.mont_pow_fixed_base(ctx, hs, r_digits, window)
     return mont.modmul(ctx, gm, hr)
+
+
+def alt_encrypt_comb_kernel(dk: DeviceKey, eng, table, m: jnp.ndarray,
+                            r_digits: jnp.ndarray, level: int,
+                            window: int = 4) -> jnp.ndarray:
+    """Comb fast path: h_s^r with ZERO squarings (fixed-base table of
+    Montgomery-form residues, one mmul per exponent digit) — the short
+    randomness r < K = 2^(secparam/2) makes alternative encryption
+    ~10x cheaper than the r^(n^s) ladder at production key sizes."""
+    from ..bigint.rns2 import rns2_pow_fixed_base
+    gm = gm_binomial(dk, m, level)
+    hr = rns2_pow_fixed_base(eng.ctx, table, r_digits, window)
+    c_rns = eng.mul(eng.from_limbs(gm), hr)
+    return dk._widen(eng.to_limbs_mod(c_rns), level)
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +151,7 @@ class Encryptor:
         self.c_limbs = (s + 1) * self.dk.L
         if engine == "auto":
             # RNS pays off for production key sizes on accelerators
-            engine = ("rns" if jax.default_backend() != "cpu"
-                      and pk.bits >= 1024 and method == REGULAR else "limb")
+            engine = "rns" if self.dk.use_rns() else "limb"
         self.engine = engine
         cache_key = ("enc", method, level, window, engine)
         if method == REGULAR:
@@ -155,10 +173,20 @@ class Encryptor:
         elif method == ALTERNATIVE:
             self._r_bits = pk.k.bit_length() - 1  # r < K = 2^(secparam/2)
             if cache_key not in self.dk.jit_cache:
-                self.dk.hs_for_level(level)  # materialize before tracing
-                self.dk.jit_cache[cache_key] = jax.jit(
-                    lambda m, rd: alt_encrypt_with_r_kernel(
-                        self.dk, m, rd, level, window))
+                from ..bigint.rns2 import Rns2Engine, build_fixed_base_table
+                eng = self.dk.rns(level) if engine == "rns" else None
+                if isinstance(eng, Rns2Engine):
+                    hs_int = self.dk.hs_int_for_level(level)
+                    nd = mont.n_digits_for_bits(self._r_bits, window)
+                    table = build_fixed_base_table(eng, hs_int, nd, window)
+                    self.dk.jit_cache[cache_key] = jax.jit(
+                        lambda m, rd: alt_encrypt_comb_kernel(
+                            self.dk, eng, table, m, rd, level, window))
+                else:
+                    self.dk.hs_for_level(level)  # materialize before tracing
+                    self.dk.jit_cache[cache_key] = jax.jit(
+                        lambda m, rd: alt_encrypt_with_r_kernel(
+                            self.dk, m, rd, level, window))
             self._fn = self.dk.jit_cache[cache_key]
         else:
             raise ValueError(f"unknown encryption method {method!r}")

@@ -139,8 +139,7 @@ def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0,
         fix = jnp.asarray(eng.spec.encode(
             [pow(eng.spec.M, t_pow + 1, mod)]))[0]
         out_rns = eng.mont_mul(x[0], fix)
-        out = mont.mod_wide_any(dk.ctx_for_level(ct.level),
-                                eng.to_limbs(out_rns[None]))[0]
+        out = dk._widen(eng.to_limbs_mod(out_rns[None]), ct.level)[0]
         return Ciphertext(c=out, level=ct.level, method=MIXED)
 
     ctx = dk.ctx_for_level(ct.level)

@@ -150,8 +150,15 @@ class DeviceKey:
         return self._rns[level]
 
     def use_rns(self) -> bool:
-        """RNS engine pays off for production keys on accelerators."""
+        """RNS engine pays off for production keys on accelerators.
+
+        PAILLIER_TPU_FORCE_RNS=1 forces it on (the CPU jnp fallback runs
+        the same math) so tests can cover the accelerator code paths."""
+        import os
+
         import jax
+        if os.environ.get("PAILLIER_TPU_FORCE_RNS") == "1":
+            return True
         return jax.default_backend() != "cpu" and self.pk.bits >= 1024
 
     def pow(self, level: int, base, digits, window: int = 4):
@@ -165,8 +172,7 @@ class DeviceKey:
         if self.use_rns():
             eng = self.rns(level)
             out = eng.pow(eng.from_limbs(base), digits, window)
-            return mont.mod_wide_any(self.ctx_for_level(level),
-                                     eng.to_limbs(out))
+            return self._widen(eng.to_limbs_mod(out), level)
         return mont.mont_pow_digits(self.ctx_for_level(level), base,
                                     digits, window)
 
@@ -180,19 +186,44 @@ class DeviceKey:
         return self.pow(level, base,
                         jnp.asarray(mont.exp_digits(e, window, nd)), window)
 
+    def constmul_n(self):
+        """Cached Toeplitz plan for x * n at width L -> 2L (limbmm)."""
+        if "constmul_n" not in self.jit_cache:
+            from ..bigint.limbmm import ConstMulPlan
+            self.jit_cache["constmul_n"] = ConstMulPlan.build(
+                self.pk.n, self.L, 2 * self.L)
+        return self.jit_cache["constmul_n"]
+
+    def _widen(self, x: jax.Array, level: int) -> jax.Array:
+        """Pad a mod-n^(s+1) result to the canonical ciphertext limb width."""
+        import jax.numpy as jnp
+        want = self.limbs_for_level(level)
+        pad = want - x.shape[-1]
+        if pad <= 0:
+            return x[..., :want]
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
     def hs_for_level(self, level: int) -> jax.Array:
         """Alternative-encryption randomness generator h_s (lazy, host pow):
         h1 = (n-h)^n mod n^2, h2 = (n^2-h)^(n^2) mod n^3
         (reference: paillier.go:416-434)."""
         if level not in self._hs:
+            val = self.hs_int_for_level(level)
+            width = self.limbs_for_level(level)
+            self._hs[level] = jnp.asarray(host.int_to_limbs(val, width))
+        return self._hs[level]
+
+    def hs_int_for_level(self, level: int) -> int:
+        """h_s as a Python int (host pow; reference: paillier.go:416-434)."""
+        if not hasattr(self, "_hs_int"):
+            self._hs_int = {}
+        if level not in self._hs_int:
             pk = self.pk
             if level == LEVEL_ONE:
-                val = pow(pk.n - pk.h, pk.n, pk.n2)
-                self._hs[level] = jnp.asarray(host.int_to_limbs(val, 2 * self.L))
+                self._hs_int[level] = pow(pk.n - pk.h, pk.n, pk.n2)
             else:
-                val = pow(pk.n2 - pk.h, pk.n2, pk.n3)
-                self._hs[level] = jnp.asarray(host.int_to_limbs(val, 3 * self.L))
-        return self._hs[level]
+                self._hs_int[level] = pow(pk.n2 - pk.h, pk.n2, pk.n3)
+        return self._hs_int[level]
 
     @classmethod
     def from_public(cls, pk: PublicKey) -> "DeviceKey":
