@@ -231,11 +231,13 @@ class Rns2Spec:
 # ---------------------------------------------------------------------------
 
 def _red(v, m, inv_m):
-    """v mod m for int32 v with |v| < 2^28 (single float-reciprocal pass).
+    """v mod m for int32 |v| < 2^31 (single float-reciprocal pass).
 
-    The quotient error is at most 1 (|f32(v)-v| <= 16 and m > 2^12.5 keep
-    the error below the floor-boundary slack), so two conditional fixes
-    suffice; q*m stays exact in int32.
+    Quotient error analysis at the widest callers (v < 1.6e9): the f32
+    conversion error is <= 64, inv_m and the product each carry 2^-24
+    relative error, so |q_err| <= 128/m + 2*q*2^-24 < 0.1 < 1 for
+    m > 2^12.5.  Two conditional fixes absorb the +-1; q*m <= v + m
+    stays exact in int32.
     """
     q = jnp.floor(v.astype(jnp.float32) * inv_m).astype(jnp.int32)
     r = v - q * m
@@ -271,28 +273,29 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
     s1 = _red(x1 * y1, m1, inv1)                 # p mod m on B1
     s2 = _red(x2 * y2, m2, inv2)                 # p mod m' on B2
     a0, a1 = _chunks(s1)
-    b0, b1 = _chunks(s2)
 
-    # first extension (B1 -> B2); k1 and N*M^-1 folded into e1
+    # first extension (B1 -> B2); k1 and N*M^-1 folded into e1.
+    # Plo, Phi <= 2k*127^2 < 2^24, so Plo + (Phi << 7) < 2^31 stays exact
+    # in int32 and a single deferred _red suffices (VPU diet: no
+    # intermediate reduction of the hi-chunk dot).
     lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
     Plo = _dot_i8(lhs1, ctx.e1lo)
     Phi = _dot_i8(lhs1, ctx.e1hi)
-    v = Plo + (_red(Phi, m2, inv2) << CHUNK)     # == Q*N*M^-1 mod m', < 2^25
+    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 2^31
 
-    # t1 = p_j * M^-1 mod m'_j via the chunk fold of s2
-    t1 = b0 * ctx.ic2[I2_U0] + b1 * ctx.ic2[I2_U1]
+    # t1 = p_j * M^-1 mod m'_j: s2, U0 < 2^14 so the product is < 2^28
+    t1 = s2 * ctx.ic2[I2_U0]
     w2 = _red(v + t1, m2, inv2)                  # result residues on B2
 
-    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j
-    c0, c1 = _chunks(w2)
-    sg = _red(c0 * ctx.ic2[I2_K30] + c1 * ctx.ic2[I2_K31], m2, inv2)
+    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (product < 2^28)
+    sg = _red(w2 * ctx.ic2[I2_K30], m2, inv2)
 
     # second extension (B2 -> B1) + cox floating alpha
     s0, s1c = _chunks(sg)
     lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
     Vlo = _dot_i8(lhs2, ctx.e2lo)
     Vhi = _dot_i8(lhs2, ctx.e2hi)
-    v1 = Vlo + (_red(Vhi, m1, inv1) << CHUNK)    # == sum sg*(M2/m') mod m_i
+    v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
 
     alpha = jnp.floor(
         jnp.sum(sg.astype(jnp.float32) * inv2, axis=-1, keepdims=True)
