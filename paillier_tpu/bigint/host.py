@@ -19,6 +19,19 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
+
+def _native():
+    """The C++/GMP host-math runtime, or None (pure-Python fallback).
+
+    Imported lazily to keep this module importable standalone; see
+    paillier_tpu/native/__init__.py.
+    """
+    try:
+        from paillier_tpu import native
+    except ImportError:
+        return None
+    return native if native.available() else None
+
 # Limb parameters for the device representation: little-endian base-2^16
 # digits stored in uint32 lanes.  16-bit limbs keep products of two limbs
 # exact in uint32 (max (2^16-1)^2 < 2^32), which is the widest exact
@@ -78,6 +91,9 @@ def limbs_to_ints(arr: np.ndarray) -> list[int]:
 
 def modinv(a: int, n: int) -> int:
     """Multiplicative inverse of a mod n.  Raises ValueError if not invertible."""
+    nat = _native()
+    if nat is not None and n.bit_length() > 512:
+        return nat.modinv(a % n, n)
     return pow(a, -1, n)
 
 
@@ -112,9 +128,17 @@ _SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
 
 def is_probable_prime(n: int, rounds: int = 30) -> bool:
     """Miller-Rabin with random witnesses (reference: safe_prime.go:256 uses
-    Go's ProbablyPrime(20) = Miller-Rabin + Baillie-PSW)."""
+    Go's ProbablyPrime(20) = Miller-Rabin + Baillie-PSW).
+
+    Large inputs route to the native GMP runtime (BPSW + Miller-Rabin)
+    when it is available — the same engine the reference leans on.
+    """
     if n < 2:
         return False
+    if n.bit_length() > 64:
+        nat = _native()
+        if nat is not None:
+            return nat.is_probable_prime(n, rounds)
     for p in _SMALL_PRIMES:
         if n == p:
             return True

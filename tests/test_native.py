@@ -1,0 +1,108 @@
+"""Native C++/GMP host-math runtime: parity vs Python ints.
+
+The native module mirrors the role libgmp plays in the reference (all
+host big-int math; reference paillier.go:10 imports the CGo gmp
+binding).  Every function must agree bit-for-bit with the pure-Python
+control plane it replaces.
+"""
+
+import math
+import random
+
+import pytest
+
+from paillier_tpu import native
+from paillier_tpu.bigint import host
+from paillier_tpu.threshold.safe_prime import generate_safe_prime, is_safe_prime
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain/libgmp unavailable")
+
+
+def test_powm_parity():
+    rng = random.Random(0xA11CE)
+    for _ in range(100):
+        m = rng.getrandbits(rng.randrange(8, 600)) | 1
+        b = rng.getrandbits(512) % m
+        e = rng.getrandbits(rng.randrange(1, 512))
+        assert native.powm(b, e, m) == pow(b, e, m)
+
+
+def test_powm_batch_parity_and_threads():
+    rng = random.Random(3)
+    m = rng.getrandbits(512) | 1
+    e = rng.getrandbits(512)
+    bases = [rng.getrandbits(512) for _ in range(17)]
+    want = [pow(b, e, m) for b in bases]
+    assert native.powm_batch(bases, e, m, threads=1) == want
+    assert native.powm_batch(bases, e, m, threads=4) == want
+
+
+def test_modinv_gcd_mulmod_parity():
+    rng = random.Random(9)
+    for _ in range(100):
+        m = rng.getrandbits(300) | 1
+        a = rng.getrandbits(280)
+        b = rng.getrandbits(250)
+        assert native.gcd(a, m) == math.gcd(a, m)
+        assert native.mulmod(a, b, m) == (a * b) % m
+        try:
+            want = pow(a, -1, m)
+        except ValueError:
+            want = None
+        if want is None:
+            with pytest.raises(ValueError):
+                native.modinv(a, m)
+        else:
+            assert native.modinv(a, m) == want
+
+
+def test_probab_prime():
+    known_primes = [2, 3, 5, 7919, (1 << 127) - 1, (1 << 521) - 1]
+    known_composites = [1, 4, 561, 1105, (1 << 127) - 3, (1 << 256) + 1]
+    for p in known_primes:
+        assert native.is_probable_prime(p)
+    for c in known_composites:
+        assert not native.is_probable_prime(c)
+
+
+def test_random_prime():
+    p = native.random_prime(256, seed=1, congruent_3_mod_4=True)
+    assert p.bit_length() == 256 and p % 4 == 3
+    assert host.is_probable_prime(p)
+    # deterministic per seed
+    assert p == native.random_prime(256, seed=1, congruent_3_mod_4=True)
+
+
+def test_safe_prime_native():
+    got = native.safe_prime(192, seed=7)
+    assert got is not None
+    p, q = got
+    assert p == 2 * q + 1 and p.bit_length() == 192
+    assert is_safe_prime(p)
+    # timeout -> None
+    assert native.safe_prime(192, seed=7, timeout=0.0) is None
+    # deterministic per (seed, threads)
+    assert got == native.safe_prime(192, seed=7, threads=2)
+
+
+def test_generate_safe_prime_uses_native_path():
+    rng = random.Random(0xD00D)
+    p, q = generate_safe_prime(256, rng=rng)
+    assert p == 2 * q + 1 and p.bit_length() == 256
+    assert is_safe_prime(p)
+
+
+def test_host_wrappers_route_large_inputs():
+    rng = random.Random(2)
+    n = rng.getrandbits(1024) | 1
+    a = rng.getrandbits(1000)
+    try:
+        want = pow(a, -1, n)
+    except ValueError:
+        want = None
+    if want is not None:
+        assert host.modinv(a, n) == want
+    p = native.random_prime(128, seed=4)
+    assert host.is_probable_prime(p)
+    assert not host.is_probable_prime(p * native.random_prime(128, seed=5))
