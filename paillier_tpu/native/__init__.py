@@ -18,15 +18,15 @@ Set ``PAILLIER_TPU_NO_NATIVE=1`` to force the Python fallback.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
 import threading
-from typing import Optional, Tuple
+from typing import Optional, Sequence
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "hostmath.cpp")
-_SO = os.path.join(_HERE, "_hostmath.so")
 _GMP_CANDIDATES = (
     "/usr/lib/x86_64-linux-gnu/libgmp.so.10",
     "/lib/x86_64-linux-gnu/libgmp.so.10",
@@ -46,20 +46,29 @@ def _find_gmp() -> Optional[str]:
     return None
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Build artifact keyed on the source hash — a stale or
+    foreign-platform binary can never be picked up (mtime comparison is
+    meaningless across git checkouts)."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_hostmath_{h}.so")
+
+
+def _build() -> Optional[str]:
     gmp = _find_gmp()
     if gmp is None:
-        return False
-    if (os.path.exists(_SO)
-            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return True
-    tmp = _SO + f".tmp{os.getpid()}"
+        return None
+    so = _so_path()
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, gmp,
            "-lpthread", "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _SO)
-        return True
+        os.replace(tmp, so)
+        return so
     except (OSError, subprocess.SubprocessError) as e:
         print(f"# paillier_tpu.native: build failed ({e}); "
               "using Python fallback", file=sys.stderr)
@@ -67,7 +76,7 @@ def _build() -> bool:
             os.unlink(tmp)
         except OSError:
             pass
-        return False
+        return None
 
 
 def _load():
@@ -80,36 +89,47 @@ def _load():
         _tried = True
         if os.environ.get("PAILLIER_TPU_NO_NATIVE"):
             return None
-        if not _build():
+        so = _build()
+        if so is None:
             return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError as e:
             print(f"# paillier_tpu.native: load failed ({e})",
                   file=sys.stderr)
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         sz = ctypes.c_size_t
-        lib.pt_abi_version.restype = ctypes.c_int
+        ci = ctypes.c_int
+        lib.pt_abi_version.restype = ci
         lib.pt_powm.argtypes = [u8p, sz, u8p, sz, u8p, sz, u8p]
-        lib.pt_powm_batch.argtypes = [u8p, sz, sz, u8p, sz, u8p, sz, u8p,
-                                      ctypes.c_int]
-        lib.pt_probab_prime.argtypes = [u8p, sz, ctypes.c_int]
-        lib.pt_probab_prime.restype = ctypes.c_int
+        lib.pt_powm.restype = ci
+        lib.pt_powm_batch.argtypes = [u8p, sz, sz, u8p, sz, u8p, sz, u8p, ci]
+        lib.pt_powm_batch.restype = ci
+        lib.pt_probab_prime.argtypes = [u8p, sz, ci]
+        lib.pt_probab_prime.restype = ci
         lib.pt_invert.argtypes = [u8p, sz, u8p, sz, u8p]
-        lib.pt_invert.restype = ctypes.c_int
+        lib.pt_invert.restype = ci
         lib.pt_gcd.argtypes = [u8p, sz, u8p, sz, u8p, sz]
+        lib.pt_gcd.restype = ci
         lib.pt_mulmod.argtypes = [u8p, sz, u8p, sz, u8p, sz, u8p]
-        lib.pt_safe_prime.argtypes = [ctypes.c_uint, ctypes.c_ulong,
-                                      ctypes.c_double, ctypes.c_int, u8p, sz]
-        lib.pt_safe_prime.restype = ctypes.c_int
-        lib.pt_random_prime.argtypes = [ctypes.c_uint, ctypes.c_ulong,
-                                        ctypes.c_int, u8p, sz]
-        lib.pt_random_prime.restype = ctypes.c_int
-        if lib.pt_abi_version() != 1:
+        lib.pt_mulmod.restype = ci
+        lib.pt_first_prime.argtypes = [u8p, sz, sz, ci, ci, ci]
+        lib.pt_first_prime.restype = ctypes.c_long
+        if lib.pt_abi_version() != 2:
             return None
         _lib = lib
         return _lib
+
+
+def _require() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native runtime unavailable (no g++/libgmp, or "
+            "PAILLIER_TPU_NO_NATIVE is set); use the pure-Python paths "
+            "in paillier_tpu.bigint.host")
+    return lib
 
 
 def available() -> bool:
@@ -132,24 +152,28 @@ def _out(length: int):
 
 def powm(base: int, exp: int, mod: int) -> int:
     """base^exp mod mod (exp >= 0, mod > 0)."""
-    lib = _load()
+    lib = _require()
     b, e, m = _be(base), _be(exp), _be(mod)
     out = _out(len(m))
-    lib.pt_powm(_buf(b), len(b), _buf(e), len(e), _buf(m), len(m), out)
+    rc = lib.pt_powm(_buf(b), len(b), _buf(e), len(e), _buf(m), len(m), out)
+    if rc != 0:
+        raise ValueError("powm failed (zero modulus?)")
     return int.from_bytes(bytes(out), "big")
 
 
 def powm_batch(bases, exp: int, mod: int, threads: int = 0) -> list:
     """[b^exp mod mod for b in bases], multithreaded."""
-    lib = _load()
+    lib = _require()
     m = _be(mod)
     ml = len(m)
     stride = max(ml, max((b.bit_length() + 7) // 8 for b in bases))
     flat = b"".join(_be(b, stride) for b in bases)
     out = _out(ml * len(bases))
     threads = threads or min(len(bases), os.cpu_count() or 1)
-    lib.pt_powm_batch(_buf(flat), len(bases), stride, _buf(_be(exp)),
-                      len(_be(exp)), _buf(m), ml, out, threads)
+    rc = lib.pt_powm_batch(_buf(flat), len(bases), stride, _buf(_be(exp)),
+                           len(_be(exp)), _buf(m), ml, out, threads)
+    if rc != 0:
+        raise ValueError("powm_batch failed (zero modulus?)")
     raw = bytes(out)
     return [int.from_bytes(raw[i * ml:(i + 1) * ml], "big")
             for i in range(len(bases))]
@@ -159,63 +183,64 @@ def is_probable_prime(n: int, reps: int = 20) -> bool:
     """GMP probab_prime (BPSW + reps Miller-Rabin rounds)."""
     if n < 2:
         return False
-    lib = _load()
+    lib = _require()
     x = _be(n)
     return lib.pt_probab_prime(_buf(x), len(x), reps) > 0
 
 
 def modinv(a: int, m: int) -> int:
-    lib = _load()
-    ab, mb = _be(a % m if a >= 0 else a % m), _be(m)
+    lib = _require()
+    if m == 0:
+        raise ValueError("modinv failed (zero modulus?)")
+    ab, mb = _be(a % m), _be(m)
     out = _out(len(mb))
     ok = lib.pt_invert(_buf(ab), len(ab), _buf(mb), len(mb), out)
-    if not ok:
+    if ok < 0:
+        raise ValueError("modinv failed (zero modulus?)")
+    if ok == 0:
         raise ValueError("base is not invertible for the given modulus")
     return int.from_bytes(bytes(out), "big")
 
 
 def gcd(a: int, b: int) -> int:
-    lib = _load()
+    lib = _require()
     ab, bb = _be(a), _be(b)
     outl = max(len(ab), len(bb))
     out = _out(outl)
-    lib.pt_gcd(_buf(ab), len(ab), _buf(bb), len(bb), out, outl)
+    rc = lib.pt_gcd(_buf(ab), len(ab), _buf(bb), len(bb), out, outl)
+    if rc != 0:
+        raise ValueError("gcd result does not fit the output buffer")
     return int.from_bytes(bytes(out), "big")
 
 
 def mulmod(a: int, b: int, m: int) -> int:
-    lib = _load()
+    lib = _require()
     ab, bb, mb = _be(a), _be(b), _be(m)
     out = _out(len(mb))
-    lib.pt_mulmod(_buf(ab), len(ab), _buf(bb), len(bb), _buf(mb), len(mb),
-                  out)
+    rc = lib.pt_mulmod(_buf(ab), len(ab), _buf(bb), len(bb), _buf(mb),
+                       len(mb), out)
+    if rc != 0:
+        raise ValueError("mulmod failed (zero modulus?)")
     return int.from_bytes(bytes(out), "big")
 
 
-def safe_prime(bits: int, seed: int, timeout: float = 120.0,
-               threads: int = 0) -> Optional[Tuple[int, int]]:
-    """(p, q) with p = 2q+1 both prime, p of exactly ``bits`` bits, or
-    None on timeout.  Deterministic per (seed, threads)."""
-    lib = _load()
-    outl = (bits + 7) // 8
-    out = _out(outl)
-    threads = threads or (os.cpu_count() or 1)
-    r = lib.pt_safe_prime(bits, seed & ((1 << 64) - 1), timeout, threads,
-                          out, outl)
-    if r != 1:
+def first_prime(cands: Sequence[int], *, safe: bool = False, reps: int = 20,
+                threads: int = 0) -> Optional[int]:
+    """Index of the first candidate passing the primality filter, or None.
+
+    ``safe=True`` treats each candidate as a Sophie Germain q and requires
+    2q+1 prime as well (sieve + q % 3 != 1 + BPSW/MR + Fermat base-2,
+    reference safe_prime.go:208-278).  Deterministic: the result depends
+    only on the candidate list, not on thread count or scheduling.  The
+    caller supplies full-entropy candidates — this runtime never generates
+    key material (see ADVICE r1).
+    """
+    if not cands:
         return None
-    p = int.from_bytes(bytes(out), "big")
-    return p, (p - 1) // 2
-
-
-def random_prime(bits: int, seed: int, congruent_3_mod_4: bool = False
-                 ) -> int:
-    """Random prime of exactly ``bits`` bits; deterministic per seed."""
-    lib = _load()
-    outl = (bits + 7) // 8
-    out = _out(outl)
-    r = lib.pt_random_prime(bits, seed & ((1 << 64) - 1),
-                            int(congruent_3_mod_4), out, outl)
-    if r != 1:
-        raise RuntimeError("native random_prime failed")
-    return int.from_bytes(bytes(out), "big")
+    lib = _require()
+    width = max(1, max((c.bit_length() + 7) // 8 for c in cands))
+    flat = b"".join(_be(c, width) for c in cands)
+    threads = threads or (os.cpu_count() or 1)
+    idx = lib.pt_first_prime(_buf(flat), len(cands), width, reps,
+                             1 if safe else 0, threads)
+    return None if idx < 0 else int(idx)

@@ -21,10 +21,8 @@
 //       /usr/lib/x86_64-linux-gnu/libgmp.so.10 -lpthread -o _hostmath.so
 
 #include <atomic>
-#include <chrono>
 #include <cstdint>
 #include <cstring>
-#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -40,15 +38,6 @@ struct __mpz_struct {
   mp_limb_t *_mp_d;
 };
 typedef __mpz_struct mpz_t[1];
-
-struct __gmp_randstate_struct {
-  mpz_t _mp_seed;
-  int _mp_alg;
-  union {
-    void *_mp_lc;
-  } _mp_algdata;
-};
-typedef __gmp_randstate_struct gmp_randstate_t[1];
 
 extern "C" {
 void __gmpz_init(mpz_t);
@@ -67,13 +56,8 @@ void __gmpz_add_ui(mpz_t, const mpz_t, unsigned long);
 void __gmpz_sub_ui(mpz_t, const mpz_t, unsigned long);
 void __gmpz_mul_2exp(mpz_t, const mpz_t, unsigned long);
 unsigned long __gmpz_fdiv_ui(const mpz_t, unsigned long);
-void __gmpz_setbit(mpz_t, unsigned long);
 size_t __gmpz_sizeinbase(const mpz_t, int);
 int __gmpz_cmp_ui(const mpz_t, unsigned long);
-void __gmp_randinit_mt(gmp_randstate_t);
-void __gmp_randclear(gmp_randstate_t);
-void __gmp_randseed_ui(gmp_randstate_t, unsigned long);
-void __gmpz_urandomb(mpz_t, gmp_randstate_t, unsigned long);
 }
 
 // ---------------------------------------------------------------------------
@@ -84,12 +68,15 @@ static void import_be(mpz_t z, const uint8_t *buf, size_t len) {
   __gmpz_import(z, len, 1, 1, 1, 0, buf);
 }
 
-static void export_be(uint8_t *out, size_t outlen, const mpz_t z) {
+// Returns 0 on success, -1 if z does not fit outlen bytes (out is zeroed;
+// never writes past the buffer — see ADVICE r1 on the old clamping code).
+static int export_be(uint8_t *out, size_t outlen, const mpz_t z) {
   std::memset(out, 0, outlen);
-  if (__gmpz_cmp_ui(z, 0) == 0) return;
+  if (__gmpz_cmp_ui(z, 0) == 0) return 0;
   size_t nbytes = (__gmpz_sizeinbase(z, 2) + 7) / 8;
-  if (nbytes > outlen) nbytes = outlen;  // caller sizes out correctly
+  if (nbytes > outlen) return -1;
   __gmpz_export(out + (outlen - nbytes), nullptr, 1, 1, 1, 0, z);
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -98,11 +85,11 @@ static void export_be(uint8_t *out, size_t outlen, const mpz_t z) {
 
 extern "C" {
 
-int pt_abi_version() { return 1; }
+int pt_abi_version() { return 2; }
 
-// out[ml] = (b^e) mod m
-void pt_powm(const uint8_t *b, size_t bl, const uint8_t *e, size_t el,
-             const uint8_t *m, size_t ml, uint8_t *out) {
+// out[ml] = (b^e) mod m.  Returns 0 on success, -1 on zero modulus.
+int pt_powm(const uint8_t *b, size_t bl, const uint8_t *e, size_t el,
+            const uint8_t *m, size_t ml, uint8_t *out) {
   mpz_t zb, ze, zm, zr;
   __gmpz_init(zb);
   __gmpz_init(ze);
@@ -111,20 +98,32 @@ void pt_powm(const uint8_t *b, size_t bl, const uint8_t *e, size_t el,
   import_be(zb, b, bl);
   import_be(ze, e, el);
   import_be(zm, m, ml);
-  __gmpz_powm(zr, zb, ze, zm);
-  export_be(out, ml, zr);
+  int rc = -1;
+  if (__gmpz_cmp_ui(zm, 0) != 0) {
+    __gmpz_powm(zr, zb, ze, zm);
+    rc = export_be(out, ml, zr);
+  }
   __gmpz_clear(zb);
   __gmpz_clear(ze);
   __gmpz_clear(zm);
   __gmpz_clear(zr);
+  return rc;
 }
 
 // Batched shared-exponent/modulus powm across n bases (each stride bytes),
 // parallelized over threads.  Used for host-side verification sweeps.
-void pt_powm_batch(const uint8_t *bases, size_t n, size_t stride,
-                   const uint8_t *e, size_t el, const uint8_t *m, size_t ml,
-                   uint8_t *out, int n_threads) {
+int pt_powm_batch(const uint8_t *bases, size_t n, size_t stride,
+                  const uint8_t *e, size_t el, const uint8_t *m, size_t ml,
+                  uint8_t *out, int n_threads) {
   if (n_threads < 1) n_threads = 1;
+  {  // reject zero modulus once up front (GMP powm would SIGFPE)
+    mpz_t zm;
+    __gmpz_init(zm);
+    import_be(zm, m, ml);
+    int zero = __gmpz_cmp_ui(zm, 0) == 0;
+    __gmpz_clear(zm);
+    if (zero) return -1;
+  }
   std::atomic<size_t> next(0);
   auto worker = [&]() {
     mpz_t zb, ze, zm, zr;
@@ -150,6 +149,7 @@ void pt_powm_batch(const uint8_t *bases, size_t n, size_t stride,
   for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
   worker();
   for (auto &t : ts) t.join();
+  return 0;
 }
 
 // 2 = definitely prime, 1 = probably prime, 0 = composite (GMP semantics:
@@ -164,7 +164,8 @@ int pt_probab_prime(const uint8_t *x, size_t xl, int reps) {
   return r;
 }
 
-// out[ml] = a^{-1} mod m; returns 1 if invertible else 0.
+// out[ml] = a^{-1} mod m; returns 1 if invertible, 0 if not, -1 on a
+// zero modulus (GMP invert with |m| == 0 divides by zero).
 int pt_invert(const uint8_t *a, size_t al, const uint8_t *m, size_t ml,
               uint8_t *out) {
   mpz_t za, zm, zr;
@@ -173,17 +174,20 @@ int pt_invert(const uint8_t *a, size_t al, const uint8_t *m, size_t ml,
   __gmpz_init(zr);
   import_be(za, a, al);
   import_be(zm, m, ml);
-  int ok = __gmpz_invert(zr, za, zm);
-  if (ok) export_be(out, ml, zr);
+  int ok = -1;
+  if (__gmpz_cmp_ui(zm, 0) != 0) {
+    ok = __gmpz_invert(zr, za, zm);
+    if (ok && export_be(out, ml, zr) != 0) ok = -1;
+  }
   __gmpz_clear(za);
   __gmpz_clear(zm);
   __gmpz_clear(zr);
   return ok;
 }
 
-// out[outl] = gcd(a, b)
-void pt_gcd(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
-            uint8_t *out, size_t outl) {
+// out[outl] = gcd(a, b).  Returns 0 on success, -1 if it doesn't fit.
+int pt_gcd(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
+           uint8_t *out, size_t outl) {
   mpz_t za, zb, zr;
   __gmpz_init(za);
   __gmpz_init(zb);
@@ -191,15 +195,16 @@ void pt_gcd(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
   import_be(za, a, al);
   import_be(zb, b, bl);
   __gmpz_gcd(zr, za, zb);
-  export_be(out, outl, zr);
+  int rc = export_be(out, outl, zr);
   __gmpz_clear(za);
   __gmpz_clear(zb);
   __gmpz_clear(zr);
+  return rc;
 }
 
-// out[ml] = (a * b) mod m
-void pt_mulmod(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
-               const uint8_t *m, size_t ml, uint8_t *out) {
+// out[ml] = (a * b) mod m.  Returns 0 on success, -1 on zero modulus.
+int pt_mulmod(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
+              const uint8_t *m, size_t ml, uint8_t *out) {
   mpz_t za, zb, zm;
   __gmpz_init(za);
   __gmpz_init(zb);
@@ -207,44 +212,43 @@ void pt_mulmod(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
   import_be(za, a, al);
   import_be(zb, b, bl);
   import_be(zm, m, ml);
-  __gmpz_mul(za, za, zb);
-  __gmpz_mod(za, za, zm);
-  export_be(out, ml, za);
+  int rc = -1;
+  if (__gmpz_cmp_ui(zm, 0) != 0) {
+    __gmpz_mul(za, za, zb);
+    __gmpz_mod(za, za, zm);
+    rc = export_be(out, ml, za);
+  }
   __gmpz_clear(za);
   __gmpz_clear(zb);
   __gmpz_clear(zm);
+  return rc;
 }
 
 // ---------------------------------------------------------------------------
-// Safe-prime search (reference safe_prime.go:61-266): p = 2q + 1 with both
-// prime, p exactly `bits` bits.  Mirrors the reference's filters — top two
-// bits of q set, 15-small-prime sieve on q and p, reject q == 1 (mod 3)
-// (forces 3 | p, safe_prime.go:225-241), Miller-Rabin/BPSW on q, Fermat
-// base-2 (Pocklington) on p (safe_prime.go:272-278).  The reference's
-// goroutine race becomes a std::thread race with an atomic first-winner
-// flag.  Deterministic per (seed, n_threads): thread t draws from a
-// Mersenne Twister seeded seed ^ splitmix(t).
+// Batch prime filtering (reference safe_prime.go:61-266).  The caller draws
+// full-entropy candidates from its own CSPRNG (the reference reads
+// crypto/rand per candidate, safe_prime.go:175) and this runtime only
+// *tests* them — sieve, Miller-Rabin/BPSW, and for safe primes the
+// q != 1 (mod 3) filter (safe_prime.go:225-241) plus Fermat base-2 on
+// p = 2q + 1 (Pocklington, safe_prime.go:272-278).  The reference's
+// goroutine race becomes a deterministic std::thread race: threads claim
+// batch indices in order and the LOWEST passing index wins, so the result
+// depends only on the candidate list, never on scheduling or thread count.
 // ---------------------------------------------------------------------------
 
 static const unsigned kSieve[] = {3,  5,  7,  11, 13, 17, 19, 23,
                                   29, 31, 37, 41, 43, 47, 53};
 
-// Returns 1 and fills out_p (bits-sized, big-endian) on success, 0 on timeout.
-int pt_safe_prime(unsigned bits, unsigned long seed, double timeout_s,
-                  int n_threads, uint8_t *out_p, size_t outl) {
-  if (bits < 6) return -1;
+// Scan `count` big-endian `width`-byte candidates; return the lowest index
+// that passes, or -1 if none.  mode 0: plain probable prime (`reps` MR
+// rounds on top of BPSW).  mode 1: safe-prime q test (sieve on q and
+// 2q+1, q % 3 != 1, q probable prime, Fermat base-2 on 2q+1).
+long pt_first_prime(const uint8_t *cands, size_t count, size_t width,
+                    int reps, int mode, int n_threads) {
   if (n_threads < 1) n_threads = 1;
-  unsigned qbits = bits - 1;
-  std::atomic<bool> found(false);
-  std::mutex out_mu;
-  auto deadline = std::chrono::steady_clock::now() +
-                  std::chrono::duration<double>(timeout_s);
-
-  auto worker = [&](int tid) {
-    gmp_randstate_t rs;
-    __gmp_randinit_mt(rs);
-    unsigned long s = seed + 0x9E3779B97F4A7C15UL * (unsigned long)(tid + 1);
-    __gmp_randseed_ui(rs, s);
+  std::atomic<size_t> next(0);
+  std::atomic<long> best(-1);
+  auto worker = [&]() {
     mpz_t q, p, pm1, two, t;
     __gmpz_init(q);
     __gmpz_init(p);
@@ -252,85 +256,57 @@ int pt_safe_prime(unsigned bits, unsigned long seed, double timeout_s,
     __gmpz_init(two);
     __gmpz_init(t);
     __gmpz_set_ui(two, 2);
-    int iter = 0;
-    while (!found.load(std::memory_order_relaxed)) {
-      if ((++iter & 0x3F) == 0 &&
-          std::chrono::steady_clock::now() >= deadline)
-        break;
-      __gmpz_urandomb(q, rs, qbits);
-      __gmpz_setbit(q, qbits - 1);
-      if (qbits >= 2) __gmpz_setbit(q, qbits - 2);
-      __gmpz_setbit(q, 0);
-      bool bad = false;
-      if (qbits > 6) {
-        for (unsigned sp : kSieve) {
-          unsigned long r = __gmpz_fdiv_ui(q, sp);
-          if (r == 0 || (2 * r + 1) % sp == 0) {
-            bad = true;
-            break;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= count) break;
+      long b = best.load(std::memory_order_relaxed);
+      if (b >= 0 && (size_t)b < i) break;  // a lower index already won
+      import_be(q, cands + i * width, width);
+      bool ok;
+      if (mode == 0) {
+        ok = __gmpz_probab_prime_p(q, reps) > 0;
+      } else {
+        ok = true;
+        size_t qbits = __gmpz_sizeinbase(q, 2);
+        if (qbits > 6) {
+          for (unsigned sp : kSieve) {
+            unsigned long r = __gmpz_fdiv_ui(q, sp);
+            if (r == 0 || (2 * r + 1) % sp == 0) {
+              ok = false;
+              break;
+            }
           }
+          if (ok && __gmpz_fdiv_ui(q, 3) == 1) ok = false;
         }
-        if (!bad && __gmpz_fdiv_ui(q, 3) == 1) bad = true;
+        if (ok) ok = __gmpz_probab_prime_p(q, reps) > 0;
+        if (ok) {
+          // p = 2q + 1; Fermat base 2 proves p prime given q prime
+          __gmpz_mul_2exp(p, q, 1);
+          __gmpz_add_ui(p, p, 1);
+          __gmpz_sub_ui(pm1, p, 1);
+          __gmpz_powm(t, two, pm1, p);
+          ok = __gmpz_cmp_ui(t, 1) == 0;
+        }
       }
-      if (bad) continue;
-      if (!__gmpz_probab_prime_p(q, 20)) continue;
-      // p = 2q + 1; Fermat base 2 proves p prime given q prime (Pocklington)
-      __gmpz_mul_2exp(p, q, 1);
-      __gmpz_add_ui(p, p, 1);
-      __gmpz_sub_ui(pm1, p, 1);
-      __gmpz_powm(t, two, pm1, p);
-      if (__gmpz_cmp_ui(t, 1) != 0) continue;
-      if (__gmpz_sizeinbase(p, 2) != bits) continue;
-      bool expect = false;
-      if (found.compare_exchange_strong(expect, true)) {
-        std::lock_guard<std::mutex> lk(out_mu);
-        export_be(out_p, outl, p);
+      if (ok) {
+        long cur = best.load(std::memory_order_relaxed);
+        long mine = (long)i;
+        while ((cur < 0 || mine < cur) &&
+               !best.compare_exchange_weak(cur, mine)) {
+        }
       }
-      break;
     }
     __gmpz_clear(q);
     __gmpz_clear(p);
     __gmpz_clear(pm1);
     __gmpz_clear(two);
     __gmpz_clear(t);
-    __gmp_randclear(rs);
   };
-
   std::vector<std::thread> ts;
-  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker, t);
-  worker(0);
-  for (auto &t : ts) t.join();
-  return found.load() ? 1 : 0;
-}
-
-// Random prime of exactly `bits` bits (top two bits set), optionally
-// congruent to 3 mod 4 (reference paillier.go:131-137 requires p == q == 3
-// mod 4).  Single-threaded (plain primes are cheap); deterministic per seed.
-int pt_random_prime(unsigned bits, unsigned long seed, int want_3mod4,
-                    uint8_t *out, size_t outl) {
-  if (bits < 4) return -1;
-  gmp_randstate_t rs;
-  __gmp_randinit_mt(rs);
-  __gmp_randseed_ui(rs, seed);
-  mpz_t c;
-  __gmpz_init(c);
-  int found = 0;
-  for (;;) {
-    __gmpz_urandomb(c, rs, bits);
-    __gmpz_setbit(c, bits - 1);
-    __gmpz_setbit(c, bits - 2);
-    __gmpz_setbit(c, 0);
-    if (want_3mod4) __gmpz_setbit(c, 1);
-    if (__gmpz_sizeinbase(c, 2) != bits) continue;
-    if (__gmpz_probab_prime_p(c, 25)) {
-      export_be(out, outl, c);
-      found = 1;
-      break;
-    }
-  }
-  __gmpz_clear(c);
-  __gmp_randclear(rs);
-  return found;
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto &th : ts) th.join();
+  return best.load();
 }
 
 }  // extern "C"

@@ -43,22 +43,27 @@ def generate_safe_prime(bits: int, timeout: float = 120.0, rng=None,
     if bits < 6:
         raise ValueError("safe prime size must be at least 6 bits")
     rng = rng or prand.make_rng()
+    qbits = bits - 1
+    deadline = time.monotonic() + timeout
 
-    # Native fast path: the C++/GMP runtime races std::threads the way the
-    # reference races goroutines (safe_prime.go:71-105), ~20x the Python
-    # loop at 1024 bits.  Deterministic per rng state (seed drawn from rng).
+    # Native fast path: candidates are drawn *here* from the caller's
+    # CSPRNG at full width (the reference reads crypto/rand per candidate,
+    # safe_prime.go:175); the C++/GMP runtime only races std::threads over
+    # the expensive tests and returns the lowest passing index, so the
+    # result is deterministic per rng stream.  ~20x the Python loop at
+    # 1024 bits.
     if bits >= 128:
         from paillier_tpu.bigint.host import _native
         nat = _native()
         if nat is not None:
-            got = nat.safe_prime(bits, rng.getrandbits(64), timeout=timeout)
-            if got is None:
-                raise SafePrimeTimeout(
-                    f"generator timed out after {timeout}s")
-            return got
-
-    qbits = bits - 1
-    deadline = time.monotonic() + timeout
+            batch_n = 2048
+            while time.monotonic() < deadline:
+                cands = [_candidate(qbits, rng) for _ in range(batch_n)]
+                idx = nat.first_prime(cands, safe=True, reps=20)
+                if idx is not None:
+                    q = cands[idx]
+                    return 2 * q + 1, q
+            raise SafePrimeTimeout(f"generator timed out after {timeout}s")
 
     while time.monotonic() < deadline:
         # batch of sieved q candidates (the "concurrencyLevel" analogue)

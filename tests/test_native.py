@@ -66,24 +66,34 @@ def test_probab_prime():
         assert not native.is_probable_prime(c)
 
 
-def test_random_prime():
-    p = native.random_prime(256, seed=1, congruent_3_mod_4=True)
-    assert p.bit_length() == 256 and p % 4 == 3
-    assert host.is_probable_prime(p)
-    # deterministic per seed
-    assert p == native.random_prime(256, seed=1, congruent_3_mod_4=True)
+def test_first_prime_plain():
+    rng = random.Random(11)
+    cands = [rng.getrandbits(256) | 1 for _ in range(64)]
+    idx = native.first_prime(cands)
+    want = next((i for i, c in enumerate(cands)
+                 if host.is_probable_prime(c)), None)
+    assert idx == want
+    # deterministic across thread counts (lowest index wins, never a race)
+    assert idx == native.first_prime(cands, threads=1)
+    assert idx == native.first_prime(cands, threads=7)
+    # all-composite batch -> None
+    assert native.first_prime([4, 100, 561]) is None
 
 
-def test_safe_prime_native():
-    got = native.safe_prime(192, seed=7)
-    assert got is not None
-    p, q = got
-    assert p == 2 * q + 1 and p.bit_length() == 192
-    assert is_safe_prime(p)
-    # timeout -> None
-    assert native.safe_prime(192, seed=7, timeout=0.0) is None
-    # deterministic per (seed, threads)
-    assert got == native.safe_prime(192, seed=7, threads=2)
+def test_first_prime_safe():
+    rng = random.Random(0xD00D)
+    qbits = 191
+    found = None
+    while found is None:
+        cands = [rng.getrandbits(qbits) | (1 << (qbits - 1))
+                 | (1 << (qbits - 2)) | 1 for _ in range(512)]
+        found = native.first_prime(cands, safe=True)
+    q = cands[found]
+    assert is_safe_prime(2 * q + 1)
+    # every earlier candidate really fails the safe-prime test
+    for c in cands[:found]:
+        assert not is_safe_prime(2 * c + 1)
+    assert found == native.first_prime(cands, safe=True, threads=3)
 
 
 def test_generate_safe_prime_uses_native_path():
@@ -91,6 +101,18 @@ def test_generate_safe_prime_uses_native_path():
     p, q = generate_safe_prime(256, rng=rng)
     assert p == 2 * q + 1 and p.bit_length() == 256
     assert is_safe_prime(p)
+    # deterministic per rng stream (candidates come from the caller's rng)
+    p2, q2 = generate_safe_prime(256, rng=random.Random(0xD00D))
+    assert (p2, q2) == (p, q)
+
+
+def test_error_paths():
+    with pytest.raises(ValueError):
+        native.powm(3, 4, 0)
+    with pytest.raises(ValueError):
+        native.mulmod(3, 4, 0)
+    with pytest.raises(ValueError):
+        native.modinv(3, 0)
 
 
 def test_host_wrappers_route_large_inputs():
@@ -103,6 +125,7 @@ def test_host_wrappers_route_large_inputs():
         want = None
     if want is not None:
         assert host.modinv(a, n) == want
-    p = native.random_prime(128, seed=4)
+    p = host.random_prime(128, rng=random.Random(4))
     assert host.is_probable_prime(p)
-    assert not host.is_probable_prime(p * native.random_prime(128, seed=5))
+    q = host.random_prime(128, rng=random.Random(5))
+    assert not host.is_probable_prime(p * q)
