@@ -48,7 +48,7 @@ def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
     x2 = x2_ref[...]
 
     def mmul(a, b):
-        return rns2_mont_mul_pair(ctx, a, b)
+        return rns2_mont_mul_pair(ctx, a, b, lazy=True)
 
     def bcast(row1, row2):
         return (jnp.broadcast_to(row1, x1.shape),
@@ -84,17 +84,20 @@ def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
         return mmul(acc, (t1, t2))
 
     acc = lax.fori_loop(0, n_digits, dig_body, one_m)
-    o1, o2 = mmul(acc, one)
+    o1, o2 = rns2_mont_mul_pair(ctx, acc, one)     # exact final residues
     o1_ref[...] = o1
     o2_ref[...] = o2
 
 
+VMEM_LIMIT = 100 * (1 << 20)   # v5e has 128 MiB VMEM; default scope is 16 MiB
+
+
 def _pick_block(b_total: int, k: int, window: int) -> int:
     """Largest batch block (multiple of 8, dividing B) whose table + live
-    temporaries fit a ~12 MB VMEM budget."""
-    budget = 12 * (1 << 20)
+    temporaries fit the VMEM budget."""
+    budget = VMEM_LIMIT - (1 << 22)
     per_elem = ((1 << window) + 12) * 2 * k * 4
-    blk = max(8, min(budget // per_elem, b_total, 256))
+    blk = max(8, min(budget // per_elem, b_total, 1024))
     while blk > 8:
         if b_total % blk == 0 and blk % 8 == 0:
             return blk
@@ -153,6 +156,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
         scratch_shapes=[pltpu.VMEM(((1 << window), blk, k), jnp.int32),
                         pltpu.VMEM(((1 << window), blk, k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
       ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
@@ -194,7 +198,8 @@ def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
 
     @pl.when(j > 0)
     def _():
-        w1, w2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), (t1, t2))
+        w1, w2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), (t1, t2),
+                                    lazy=True)
         acc1[...] = w1
         acc2[...] = w2
 

@@ -246,6 +246,22 @@ def _red(v, m, inv_m):
     return r
 
 
+def _red_lazy(v, m, inv_m):
+    """Congruence-preserving reduction into (-m, 2m) — skips the two
+    conditional fixes of :func:`_red`.
+
+    Same quotient-error analysis as _red (|q_err| < 1 for |v| < 2e9),
+    but the +-1 is *absorbed into the output range* instead of being
+    fixed up: r = v - q*m lands in (-m, 2m).  Sound wherever only the
+    residue class matters (squaring/multiply inputs, channel products
+    t1 = s2*U0): |lazy| < 2m < 2^15 keeps every downstream int32
+    product below 2^30.  Digits that feed the int8 base-extension
+    matmuls or the cox alpha sum (s1, sigma) still need :func:`_red`.
+    """
+    q = jnp.floor(v.astype(jnp.float32) * inv_m).astype(jnp.int32)
+    return v - q * m
+
+
 def _chunks(v):
     """int32 < 2^14 -> (lo7, hi7) int32 chunks."""
     return v & ((1 << CHUNK) - 1), v >> CHUNK
@@ -257,11 +273,15 @@ def _dot_i8(lhs_i8, rhs_i8):
                            preferred_element_type=jnp.int32)
 
 
-def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
+def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     """w = x*y*M^-1 mod N on residue pairs ((x1, x2), (y1, y2)).
 
-    Halves are int32 [..., k] standard-form residues of values < lambda*N.
-    Kernel-safe: offset-0 slices, concat, dot_general, elementwise only.
+    Halves are int32 [..., k] residues of values < lambda*N — canonical
+    [0, m) or, with ``lazy`` chains, congruence-class values in
+    (-m, 2m).  With ``lazy=True`` the outputs are lazy too (use inside
+    exponent ladders; finish with one lazy=False multiply so the final
+    residues are canonical).  Kernel-safe: offset-0 slices, concat,
+    dot_general, elementwise only.
     """
     x1, x2 = x
     y1, y2 = y
@@ -269,9 +289,10 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
     m2 = ctx.ic2[I2_M]
     inv1 = ctx.f1[0]
     inv2 = ctx.f2[0]
+    out_red = _red_lazy if lazy else _red
 
-    s1 = _red(x1 * y1, m1, inv1)                 # p mod m on B1
-    s2 = _red(x2 * y2, m2, inv2)                 # p mod m' on B2
+    s1 = _red(x1 * y1, m1, inv1)                 # p mod m on B1 (exact:
+    s2 = _red_lazy(x2 * y2, m2, inv2)            # chunked); B2 stays lazy
     a0, a1 = _chunks(s1)
 
     # first extension (B1 -> B2); k1 and N*M^-1 folded into e1.
@@ -283,11 +304,11 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
     Phi = _dot_i8(lhs1, ctx.e1hi)
     v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 2^31
 
-    # t1 = p_j * M^-1 mod m'_j: s2, U0 < 2^14 so the product is < 2^28
+    # t1 = p_j * M^-1 mod m'_j: |s2| < 2^15, U0 < 2^14 -> |t1| < 2^29
     t1 = s2 * ctx.ic2[I2_U0]
-    w2 = _red(v + t1, m2, inv2)                  # result residues on B2
+    w2 = out_red(v + t1, m2, inv2)               # result residues on B2
 
-    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (product < 2^28)
+    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (|prod| < 2^29)
     sg = _red(w2 * ctx.ic2[I2_K30], m2, inv2)
 
     # second extension (B2 -> B1) + cox floating alpha
@@ -300,7 +321,7 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y):
     alpha = jnp.floor(
         jnp.sum(sg.astype(jnp.float32) * inv2, axis=-1, keepdims=True)
         + COX_EPS).astype(jnp.int32)
-    w1 = _red(v1 - alpha * ctx.ic1[I1_M2M], m1, inv1)
+    w1 = out_red(v1 - alpha * ctx.ic1[I1_M2M], m1, inv1)
     return w1, w2
 
 
@@ -309,9 +330,9 @@ def _split(ctx: Rns2Context, x):
     return x[..., :k], x[..., k:]
 
 
-def rns2_mont_mul_values(ctx: Rns2Context, x, y):
+def rns2_mont_mul_values(ctx: Rns2Context, x, y, lazy: bool = False):
     """Full-width [..., C] wrapper around the pair core (jnp paths)."""
-    w1, w2 = rns2_mont_mul_pair(ctx, _split(ctx, x), _split(ctx, y))
+    w1, w2 = rns2_mont_mul_pair(ctx, _split(ctx, x), _split(ctx, y), lazy)
     return jnp.concatenate([w1, w2], axis=-1)
 
 
@@ -331,22 +352,24 @@ def rns2_pow_jnp(ctx: Rns2Context, x, digits, window: int = 4):
     onem = jnp.concatenate([ctx.ic1[I1_ONEM], ctx.ic2[I2_ONEM]])
     one = jnp.concatenate([ctx.ic1[I1_ONE], ctx.ic2[I2_ONE]])
 
-    xm = rns2_mont_mul_values(ctx, x, jnp.broadcast_to(entry, x.shape))
+    xm = rns2_mont_mul_values(ctx, x, jnp.broadcast_to(entry, x.shape),
+                              lazy=True)
     one_m = jnp.broadcast_to(onem, x.shape)
 
     entries = [one_m, xm]
     for _ in range(2, 1 << window):
-        entries.append(rns2_mont_mul_values(ctx, entries[-1], xm))
+        entries.append(rns2_mont_mul_values(ctx, entries[-1], xm,
+                                            lazy=True))
     tbl = jnp.stack(entries, axis=0)
 
     def body(acc, d):
         for _ in range(window):
-            acc = rns2_mont_mul_values(ctx, acc, acc)
+            acc = rns2_mont_mul_values(ctx, acc, acc, lazy=True)
         if per_element:
             t = jnp.take_along_axis(tbl, d[None, ..., None], axis=0)[0]
         else:
             t = jnp.take(tbl, d, axis=0)
-        return rns2_mont_mul_values(ctx, acc, t), None
+        return rns2_mont_mul_values(ctx, acc, t, lazy=True), None
 
     acc0 = one_m + x * 0
     if per_element:
@@ -416,7 +439,8 @@ def rns2_pow_fixed_base_jnp(ctx: Rns2Context, table, digits,
 
     def body(acc, xs):
         tstep, d = xs
-        return rns2_mont_mul_values(ctx, acc, jnp.take(tstep, d, axis=0)), None
+        return rns2_mont_mul_values(ctx, acc, jnp.take(tstep, d, axis=0),
+                                    lazy=True), None
 
     acc, _ = lax.scan(body, acc0, (tbl[1:], dsteps[1:]))
     return rns2_mont_mul_values(ctx, acc, jnp.broadcast_to(one, acc.shape))

@@ -247,8 +247,9 @@ class Decryptor:
         self.s = s
         L = self.dk.L
         if engine == "auto":
-            engine = ("rns" if jax.default_backend() != "cpu"
-                      and sk.bits >= 1024 else "limb")
+            # same dispatch rule as every other component, incl. the
+            # PAILLIER_TPU_FORCE_RNS test override (keys.py use_rns)
+            engine = "rns" if self.dk.use_rns() else "limb"
         self.engine = engine
 
         cache_key = ("dec", self.crt, level, window, engine)

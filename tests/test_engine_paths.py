@@ -36,3 +36,48 @@ def test_rns_enc_dec_roundtrip_with_limbmm_crt(force_rns, keypair_256, rng):
 
     cm = hom.const_mult(pk, Ciphertext(c=ct.c[:4], level=LEVEL_ONE), 12345)
     assert dec.decrypt(cm) == [(12345 * v) % pk.n for v in vals[:4]]
+
+
+def _fresh_keypair(sk):
+    import dataclasses
+    sk = type(sk)(**{f.name: getattr(sk, f.name)
+                     for f in dataclasses.fields(sk)})
+    return sk, sk.public()
+
+
+def test_force_rns_respected_by_auto_dispatch(force_rns, keypair_256):
+    """Decryptor's "auto" must honor PAILLIER_TPU_FORCE_RNS via
+    DeviceKey.use_rns (VERDICT r1 weak #6)."""
+    from paillier_tpu.core.decrypt import Decryptor
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE
+    sk, pk = _fresh_keypair(keypair_256[0])
+    assert Decryptor(sk, LEVEL_ONE).engine == "rns"
+    assert Decryptor(sk, LEVEL_ONE, crt=True).engine == "rns"
+    assert Encryptor(pk, LEVEL_ONE).engine == "rns"
+
+
+def test_rns_generic_decrypt_level1(force_rns, keypair_256, rng):
+    """decrypt_kernel_rns (generic non-CRT path) on the RNS engine."""
+    from paillier_tpu.core.decrypt import Decryptor
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE
+    sk, pk = _fresh_keypair(keypair_256[0])
+    enc = Encryptor(pk, LEVEL_ONE, rng=rng, engine="rns")
+    dec = Decryptor(sk, LEVEL_ONE, crt=False, engine="rns")
+    vals = [rng.randrange(pk.n) for _ in range(4)] + [0, pk.n - 1]
+    assert dec.decrypt(enc.encrypt(vals)) == vals
+
+
+def test_rns_level2_roundtrip(force_rns, keypair_256, rng):
+    """Level-2 (Damgard-Jurik s=2) encrypt + generic decrypt through the
+    RNS engine at n^3 width."""
+    from paillier_tpu.core.decrypt import Decryptor
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_TWO
+    sk, pk = _fresh_keypair(keypair_256[0])
+    enc = Encryptor(pk, LEVEL_TWO, rng=rng, engine="rns")
+    dec = Decryptor(sk, LEVEL_TWO, engine="rns")
+    n2 = pk.n * pk.n
+    vals = [rng.randrange(n2) for _ in range(3)] + [0, n2 - 1]
+    assert dec.decrypt(enc.encrypt(vals)) == vals
