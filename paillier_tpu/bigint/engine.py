@@ -56,6 +56,13 @@ class _V1Engine:
         return _rns_pow(e.ctx, e.m2_rns, e.one_rns, e.mmodn_rns,
                         x, digits, window)
 
+    def pow_shared(self, x, e_int: int, window: int = 4):
+        """Shared-exponent pow (digit-ladder fallback for the v1 engine)."""
+        from . import montgomery as mont
+        nd = mont.n_digits_for_bits(max(1, e_int.bit_length()), window)
+        return self.pow(x, jnp.asarray(mont.exp_digits(e_int, window, nd)),
+                        window)
+
     def mont_mul(self, x, y):
         return self._eng.mont_mul(x, y)
 

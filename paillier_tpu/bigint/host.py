@@ -71,18 +71,45 @@ def limbs_to_int(limbs: Sequence[int] | np.ndarray) -> int:
 
 
 def ints_to_limbs(xs: Iterable[int], n_limbs: int) -> np.ndarray:
-    """Batch of ints -> uint32[batch, n_limbs]."""
+    """Batch of ints -> uint32[batch, n_limbs] (vectorized via a byte
+    buffer: one int.to_bytes per row, the limb packing in numpy)."""
     xs = list(xs)
-    out = np.zeros((len(xs), n_limbs), dtype=np.uint32)
+    nb = 2 * n_limbs
+    buf = bytearray(len(xs) * nb)
     for b, x in enumerate(xs):
-        out[b] = int_to_limbs(x, n_limbs)
-    return out
+        if x < 0:
+            raise ValueError("negative integers have no limb representation")
+        buf[b * nb:(b + 1) * nb] = x.to_bytes(nb, "little")
+    raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(len(xs), nb)
+    return (raw[:, 0::2].astype(np.uint32)
+            | (raw[:, 1::2].astype(np.uint32) << 8))
 
 
 def limbs_to_ints(arr: np.ndarray) -> list[int]:
-    """uint32[batch, n_limbs] -> list of ints."""
-    arr = np.asarray(arr)
-    return [limbs_to_int(arr[b]) for b in range(arr.shape[0])]
+    """uint32[batch, n_limbs] -> list of ints (vectorized: numpy packs
+    the bytes, one int.from_bytes per row)."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    if arr.ndim == 1:
+        return [limbs_to_int(arr)]
+    # normalize unreduced limbs (values may exceed 16 bits): propagate
+    # carries so the byte packing below is exact
+    if (arr >> LIMB_BITS).any():
+        carry = np.zeros(arr.shape[0], dtype=np.uint64)
+        out = np.empty_like(arr)
+        for i in range(arr.shape[1]):
+            cur = arr[:, i] + carry
+            out[:, i] = cur & LIMB_MASK
+            carry = cur >> LIMB_BITS
+        if carry.any():
+            # overflowing top carry: fall back to the exact per-row path
+            return [limbs_to_int(row) for row in np.asarray(arr)]
+        arr = out
+    lo = (arr & 0xFF).astype(np.uint8)
+    hi = ((arr >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+    b = np.empty((arr.shape[0], arr.shape[1] * 2), np.uint8)
+    b[:, 0::2] = lo
+    b[:, 1::2] = hi
+    return [int.from_bytes(row.tobytes(), "little") for row in b]
 
 
 # ---------------------------------------------------------------------------
@@ -95,6 +122,27 @@ def modinv(a: int, n: int) -> int:
     if nat is not None and n.bit_length() > 512:
         return nat.modinv(a % n, n)
     return pow(a, -1, n)
+
+
+def modinv_batch(values, n: int) -> list[int]:
+    """Batched modular inverse: native threaded GMP when available,
+    else the Montgomery batch-inversion trick (one inverse plus
+    3(B-1) multiplies instead of B inverses)."""
+    values = list(values)
+    if not values:
+        return []
+    nat = _native()
+    if nat is not None and n.bit_length() > 256 and len(values) > 4:
+        return nat.modinv_batch(values, n)
+    prefix = [1] * (len(values) + 1)
+    for i, v in enumerate(values):
+        prefix[i + 1] = (prefix[i] * v) % n
+    inv = modinv(prefix[-1], n)
+    out = [0] * len(values)
+    for i in range(len(values) - 1, -1, -1):
+        out[i] = (prefix[i] * inv) % n
+        inv = (inv * values[i]) % n
+    return out
 
 
 def gcd(a: int, b: int) -> int:

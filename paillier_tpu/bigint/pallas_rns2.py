@@ -165,6 +165,128 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Shared-exponent sliding-window kernel (odd-power int16 table)
+# ---------------------------------------------------------------------------
+
+def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
+                    f2_ref, e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+                    o1_ref, o2_ref, acc1, acc2, tbl1, tbl2, *,
+                    window, n_steps):
+    """One batch block runs the whole sliding-window ladder with the
+    odd-power table resident in VMEM as int16 (lazy residues fit: they
+    stay in (-m, 2m) with m < 2^14).  The accumulator lives in int32
+    scratch so the conditional multiply is a predicated ref update."""
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+
+    def mmul(a, b):
+        return rns2_mont_mul_pair(ctx, a, b, lazy=True)
+
+    def bcast(row1, row2):
+        return (jnp.broadcast_to(row1, x1.shape),
+                jnp.broadcast_to(row2, x2.shape))
+
+    entry = bcast(ctx.ic1[I1_ENTRY], ctx.ic2[I2_ENTRY])
+    one = bcast(ctx.ic1[I1_ONE], ctx.ic2[I2_ONE])
+
+    xm = mmul((x1, x2), entry)
+    xsq = mmul(xm, xm)
+    cur = xm
+    tbl1[0], tbl2[0] = (cur[0].astype(jnp.int16), cur[1].astype(jnp.int16))
+    for v in range(1, 1 << (window - 1)):
+        cur = mmul(cur, xsq)
+        tbl1[v] = cur[0].astype(jnp.int16)
+        tbl2[v] = cur[1].astype(jnp.int16)
+
+    d0 = sched_ref[0, 0]
+    acc1[...] = tbl1[d0].astype(jnp.int32)
+    acc2[...] = tbl2[d0].astype(jnp.int32)
+
+    def step(i, carry):
+        w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
+        acc1[...], acc2[...] = w
+        d = sched_ref[0, i]
+
+        @pl.when(d >= 0)
+        def _():
+            idx = jnp.maximum(d, 0)
+            t = (tbl1[idx].astype(jnp.int32), tbl2[idx].astype(jnp.int32))
+            w2 = mmul((acc1[...], acc2[...]), t)
+            acc1[...] = w2[0]
+            acc2[...] = w2[1]
+
+        return carry
+
+    lax.fori_loop(1, n_steps + 1, step, 0)
+    o1, o2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), one)
+    o1_ref[...] = o1
+    o2_ref[...] = o2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "block", "interpret"))
+def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
+                            sched: jnp.ndarray, window: int = 6,
+                            block: int | None = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Shared-exponent power via a sliding-window schedule (the hot
+    r^(n^s) ladder, reference paillier.go:213-216).
+
+    x: int32 [B, C] (or [C]) standard residues; sched: int32 [1+S] from
+    rns2.sliding_window_schedule.  Bit-exact with rns2_pow_sliding_jnp.
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    B, C = x.shape
+    k = C // 2
+    S = sched.shape[0] - 1
+    T = 1 << (window - 1)
+    if block is None:
+        budget = VMEM_LIMIT - (12 << 20)
+        per_elem = (T + 16) * 2 * k * 4          # int16 table + live i32
+        blk = max(8, min(budget // per_elem, B, 1024))
+        while blk > 8 and (B % blk or blk % 8):
+            blk -= 1
+    else:
+        blk = block
+
+    x1 = x[:, :k]
+    x2 = x[:, k:]
+    sched_arr = sched.astype(jnp.int32)[None]                # [1, 1+S]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((blk, k), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_sliding_kernel, window=window, n_steps=S)
+    o1, o2 = pl.pallas_call(
+        kernel,
+        grid=(B // blk,),
+        in_specs=[pl.BlockSpec((1, S + 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  xspec, xspec,
+                  full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
+                  full(ctx.e1lo), full(ctx.e1hi),
+                  full(ctx.e2lo), full(ctx.e2hi)],
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
+                   jax.ShapeDtypeStruct((B, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((blk, k), jnp.int32),
+                        pltpu.VMEM((blk, k), jnp.int32),
+                        pltpu.VMEM((T, blk, k), jnp.int16),
+                        pltpu.VMEM((T, blk, k), jnp.int16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+    out = jnp.concatenate([o1, o2], axis=-1)
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
 # Fixed-base comb kernel (zero squarings)
 # ---------------------------------------------------------------------------
 
@@ -212,10 +334,12 @@ def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
         o2_ref[...] = o2
 
 
-@functools.partial(jax.jit, static_argnames=("window", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "block", "interpret"))
 def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                                digits: jnp.ndarray, window: int = 4,
-                               block: int | None = None) -> jnp.ndarray:
+                               block: int | None = None,
+                               interpret: bool = False) -> jnp.ndarray:
     """base^e via the comb table (rns2.build_fixed_base_table).
 
     table: int32 [D*2^w, C] Montgomery-form residues; digits: int32 [B, D]
@@ -254,6 +378,8 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((blk, k), jnp.int32),
                         pltpu.VMEM((blk, k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
     )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
       ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
     return jnp.concatenate([o1, o2], axis=-1)

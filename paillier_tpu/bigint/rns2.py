@@ -388,6 +388,90 @@ def rns2_pow(ctx: Rns2Context, x, digits, window: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Shared-exponent sliding-window exponentiation (odd-power table)
+# ---------------------------------------------------------------------------
+
+def sliding_window_schedule(e: int, window: int) -> np.ndarray:
+    """Recode e >= 1 for a left-to-right sliding-window ladder over the
+    odd-power table [x, x^3, x^5, ..., x^(2^window - 1)].
+
+    Returns int32 [1 + S]: out[0] is the odd-table index of the leading
+    window; each following entry encodes one ladder step "square, then
+    (entry >= 0 ? multiply by table[entry] : nothing)".  Cuts the
+    multiplies of a fixed 2^w-ary ladder from bits/w to ~bits/(w+1)
+    while the table holds only the odd powers — at window 6 a 2048-bit
+    shared exponent runs in ~2373 Montgomery multiplies vs 2574 for the
+    fixed window-4 ladder (the r^(n^s) hot path, paillier.go:213-216).
+    """
+    if e < 1:
+        raise ValueError("sliding-window exponent must be >= 1")
+    bits = bin(e)[2:]
+    nb = len(bits)
+    lead = min(window, nb)
+    while bits[lead - 1] != "1":        # window must end in a set bit
+        lead -= 1
+    out = [int(bits[:lead], 2) >> 1]    # odd-table index of leading window
+    i = lead
+    while i < nb:
+        if bits[i] == "0":
+            out.append(-1)
+            i += 1
+            continue
+        l = min(window, nb - i)
+        while bits[i + l - 1] != "1":
+            l -= 1
+        out.extend([-1] * (l - 1))
+        out.append(int(bits[i:i + l], 2) >> 1)
+        i += l
+    return np.asarray(out, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def rns2_pow_sliding_jnp(ctx: Rns2Context, x, sched, window: int = 6):
+    """Shared-exponent power via a sliding-window schedule (CPU path).
+
+    x: [..., C] standard-form residues; sched: int32 [1+S] from
+    :func:`sliding_window_schedule`.  Output matches rns2_pow bit-exactly
+    (canonical residues < lambda*N).
+    """
+    entry = jnp.concatenate([ctx.ic1[I1_ENTRY], ctx.ic2[I2_ENTRY]])
+    one = jnp.concatenate([ctx.ic1[I1_ONE], ctx.ic2[I2_ONE]])
+
+    xm = rns2_mont_mul_values(ctx, x, jnp.broadcast_to(entry, x.shape),
+                              lazy=True)
+    x2 = rns2_mont_mul_values(ctx, xm, xm, lazy=True)
+    entries = [xm]
+    for _ in range(1, 1 << (window - 1)):
+        entries.append(rns2_mont_mul_values(ctx, entries[-1], x2,
+                                            lazy=True))
+    tbl = jnp.stack(entries, axis=0)
+
+    acc0 = jnp.take(tbl, sched[0], axis=0)
+
+    def body(acc, d):
+        acc = rns2_mont_mul_values(ctx, acc, acc, lazy=True)
+        acc = lax.cond(
+            d >= 0,
+            lambda a: rns2_mont_mul_values(
+                ctx, a, jnp.take(tbl, jnp.maximum(d, 0), axis=0),
+                lazy=True),
+            lambda a: a,
+            acc)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, sched[1:])
+    return rns2_mont_mul_values(ctx, acc, jnp.broadcast_to(one, acc.shape))
+
+
+def rns2_pow_sliding(ctx: Rns2Context, x, sched, window: int = 6):
+    """Dispatcher: fused Pallas kernel on TPU, jnp scan elsewhere."""
+    if jax.default_backend() != "cpu":
+        from .pallas_rns2 import rns2_pow_sliding_pallas
+        return rns2_pow_sliding_pallas(ctx, x, sched, window)
+    return rns2_pow_sliding_jnp(ctx, x, sched, window)
+
+
+# ---------------------------------------------------------------------------
 # Fixed-base exponentiation (comb method: zero squarings)
 # ---------------------------------------------------------------------------
 
@@ -588,6 +672,7 @@ class Rns2Engine:
         self.converter = Rns2Converter(self.spec, self.ctx, L)
         self.m2_rns = jnp.concatenate([self.ctx.ic1[I1_ENTRY],
                                        self.ctx.ic2[I2_ENTRY]])
+        self._sched_cache: dict = {}
         from .limbmm import BarrettPlan
         self.barrett = BarrettPlan.build(n_modulus)
 
@@ -624,3 +709,21 @@ class Rns2Engine:
 
     def pow(self, x, digits, window: int = 4):
         return rns2_pow(self.ctx, x, digits, window)
+
+    def pow_shared(self, x, e: int, window: int = 6):
+        """x^e for a host-known shared exponent via the sliding-window
+        odd-power ladder — ~8% fewer Montgomery multiplies than the
+        fixed window-4 ladder on 2048-bit exponents (the r^(n^s) /
+        c^lambda hot paths)."""
+        if e == 0:
+            one = jnp.concatenate([self.ctx.ic1[I1_ONE],
+                                   self.ctx.ic2[I2_ONE]])
+            return jnp.broadcast_to(one, x.shape)
+        key = (e, window)
+        sched = self._sched_cache.get(key)
+        if sched is None:
+            # cache the HOST array: jnp constants created inside a jit
+            # trace are tracers and must not outlive the trace
+            sched = sliding_window_schedule(e, window)
+            self._sched_cache[key] = sched
+        return rns2_pow_sliding(self.ctx, x, jnp.asarray(sched), window)

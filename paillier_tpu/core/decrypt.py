@@ -47,11 +47,12 @@ def decrypt_kernel(dk: DeviceKey, c: jnp.ndarray, level: int,
 
 
 def decrypt_kernel_rns(dk: DeviceKey, eng, c: jnp.ndarray, level: int,
-                       lam_digits: jnp.ndarray, mu_limbs: jnp.ndarray,
+                       lam_exp: int, mu_limbs: jnp.ndarray,
                        inv2fac_n2: jnp.ndarray, window: int = 4
                        ) -> jnp.ndarray:
-    """Generic decryption with c^lambda on the RNS engine."""
-    t_rns = eng.pow(eng.from_limbs(c), lam_digits, window)
+    """Generic decryption with c^lambda on the RNS engine
+    (sliding-window shared-exponent ladder)."""
+    t_rns = eng.pow_shared(eng.from_limbs(c), lam_exp)
     tmp = dk._widen(eng.to_limbs_mod(t_rns), level)
     return _recover(dk, tmp, level, mu_limbs, inv2fac_n2)
 
@@ -149,26 +150,27 @@ class _CrtMmPlans:
 
 
 def crt_decrypt_kernel_mm(dk: DeviceKey, c: jnp.ndarray, pl: "_CrtMmPlans",
-                          eng_p, eng_q, ep_digits, eq_digits,
+                          eng_p, eng_q, ep_exp: int, eq_exp: int,
                           window: int = 4) -> jnp.ndarray:
     """MXU CRT decryption: every limb multiply is a Toeplitz matmul and
-    both half-width modexps run on the fused RNS kernel."""
+    both half-width modexps run on the fused RNS sliding-window kernel
+    (shared exponents p-1 / q-1)."""
     from ..bigint import limbmm as lm
     L = dk.L
     Lh, Lp = pl.Lh, pl.Lp
 
-    def half(fold, br2, eng, e_digits, div, hplan, br1):
+    def half(fold, br2, eng, e_exp, div, hplan, br1):
         cm = lm.fold_mod(c, fold, br2)                       # c mod p^2
-        u = eng.pow(eng.from_limbs(cm), e_digits, window)    # c^(p-1)
+        u = eng.pow_shared(eng.from_limbs(cm), e_exp)        # c^(p-1)
         ul = eng.to_limbs_mod(u)[..., :Lh]
         one = jnp.zeros_like(ul).at[..., 0].set(1)
         um1, _ = vpu.sub(ul, one)
         lval = lm.const_mul(um1, div)[..., :Lp]              # L_p(u) < p
         return lm.modmul_const(lval, hplan, br1)             # * h_p mod p
 
-    mp = half(pl.fold_p2, pl.br_p2, eng_p, ep_digits, pl.div_p, pl.hp,
+    mp = half(pl.fold_p2, pl.br_p2, eng_p, ep_exp, pl.div_p, pl.hp,
               pl.br_p)
-    mq = half(pl.fold_q2, pl.br_q2, eng_q, eq_digits, pl.div_q, pl.hq,
+    mq = half(pl.fold_q2, pl.br_q2, eng_q, eq_exp, pl.div_q, pl.hq,
               pl.br_q)
 
     # m = mp + p * ((mq - mp) * p^-1 mod q)
@@ -269,7 +271,7 @@ class Decryptor:
                 eng_p = make_engine(cc.p2, plans.Lh)
                 eng_q = make_engine(cc.q2, plans.Lh)
                 self._fn = jax.jit(lambda c: crt_decrypt_kernel_mm(
-                    self.dk, c, plans, eng_p, eng_q, ep, eq, window))
+                    self.dk, c, plans, eng_p, eng_q, p - 1, q - 1, window))
                 self.dk.jit_cache[cache_key] = self._fn
             else:
                 Lh = L  # p^2, q^2 at full-L width: c (2L limbs) reduces exactly
@@ -300,9 +302,9 @@ class Decryptor:
                 (sk.n * pow(2, -1, sk.n2)) % sk.n2, 2 * L))
             if engine == "rns":
                 eng = self.dk.rns(level)
+                lam = sk.lam
                 self._fn = jax.jit(lambda c: decrypt_kernel_rns(
-                    self.dk, eng, c, level, lam_digits, mu, inv2fac,
-                    window))
+                    self.dk, eng, c, level, lam, mu, inv2fac, window))
             else:
                 self._fn = jax.jit(lambda c: decrypt_kernel(
                     self.dk, c, level, lam_digits, mu, inv2fac, window))

@@ -88,14 +88,14 @@ def encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray, r: jnp.ndarray,
 
 
 def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, m: jnp.ndarray,
-                              r: jnp.ndarray, level: int,
-                              ns_digits: jnp.ndarray,
+                              r: jnp.ndarray, level: int, ns_exp: int,
                               window: int = 4) -> jnp.ndarray:
     """RNS fast path: r^(n^s) runs in the Cox-Rower engine (MXU base
-    extensions), G^m via the limb binomial shortcut; outputs are
-    bit-identical to the limb path."""
+    extensions) via the sliding-window shared-exponent ladder; G^m via
+    the limb binomial shortcut; outputs are bit-identical to the limb
+    path."""
     gm = gm_binomial(dk, m, level)
-    rn = eng.pow(eng.from_limbs(r), ns_digits, window)
+    rn = eng.pow_shared(eng.from_limbs(r), ns_exp)
     c_rns = eng.mul(eng.from_limbs(gm), rn)
     return dk._widen(eng.to_limbs_mod(c_rns), level)
 
@@ -157,15 +157,14 @@ class Encryptor:
         if method == REGULAR:
             if cache_key not in self.dk.jit_cache:
                 ns = pk.n ** s
-                nd = mont.n_digits_for_bits(ns.bit_length(), window)
-                ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))
                 if engine == "rns":
                     eng = self.dk.rns(level)
                     self.dk.jit_cache[cache_key] = jax.jit(
                         lambda m, r: encrypt_with_r_rns_kernel(
-                            self.dk, eng, m, r, level, ns_digits,
-                            window))
+                            self.dk, eng, m, r, level, ns, window))
                 else:
+                    nd = mont.n_digits_for_bits(ns.bit_length(), window)
+                    ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))
                     self.dk.jit_cache[cache_key] = jax.jit(
                         lambda m, r: encrypt_with_r_kernel(
                             self.dk, m, r, level, ns_digits, window))

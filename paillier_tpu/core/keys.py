@@ -177,11 +177,20 @@ class DeviceKey:
                                     digits, window)
 
     def pow_int(self, level: int, base, e: int, window: int = 4):
-        """pow with a host-int shared exponent."""
+        """pow with a host-int shared exponent.
+
+        On the RNS engine this routes through the sliding-window
+        odd-power ladder (Rns2Engine.pow_shared) — fewer multiplies than
+        the fixed-window digit ladder for the same exponent."""
         from ..bigint import montgomery as mont
         import jax.numpy as jnp
         if e == 0:
             return jnp.zeros_like(base).at[..., 0].set(1)
+        if self.use_rns():
+            eng = self.rns(level)
+            if hasattr(eng, "pow_shared"):
+                out = eng.pow_shared(eng.from_limbs(base), e)
+                return self._widen(eng.to_limbs_mod(out), level)
         nd = mont.n_digits_for_bits(e.bit_length(), window)
         return self.pow(level, base,
                         jnp.asarray(mont.exp_digits(e, window, nd)), window)

@@ -116,6 +116,8 @@ def _load():
         lib.pt_mulmod.restype = ci
         lib.pt_first_prime.argtypes = [u8p, sz, sz, ci, ci, ci]
         lib.pt_first_prime.restype = ctypes.c_long
+        lib.pt_modinv_batch.argtypes = [u8p, sz, sz, u8p, sz, u8p, ci]
+        lib.pt_modinv_batch.restype = ctypes.c_long
         if lib.pt_abi_version() != 2:
             return None
         _lib = lib
@@ -222,6 +224,28 @@ def mulmod(a: int, b: int, m: int) -> int:
     if rc != 0:
         raise ValueError("mulmod failed (zero modulus?)")
     return int.from_bytes(bytes(out), "big")
+
+
+def modinv_batch(values: Sequence[int], mod: int, threads: int = 0) -> list:
+    """[v^{-1} mod mod for v in values], multithreaded.
+
+    Raises ValueError if any element is not invertible (reference treats
+    non-invertible combine inputs as a hard error, thresholdkey.go:132).
+    """
+    lib = _require()
+    m = _be(mod)
+    ml = len(m)
+    stride = max(ml, max((v.bit_length() + 7) // 8 for v in values))
+    flat = b"".join(_be(v % mod, stride) for v in values)
+    out = _out(ml * len(values))
+    threads = threads or min(len(values), os.cpu_count() or 1)
+    bad = lib.pt_modinv_batch(_buf(flat), len(values), stride, _buf(m), ml,
+                              out, threads)
+    if bad:
+        raise ValueError(f"{bad} element(s) not invertible mod modulus")
+    raw = bytes(out)
+    return [int.from_bytes(raw[i * ml:(i + 1) * ml], "big")
+            for i in range(len(values))]
 
 
 def first_prime(cands: Sequence[int], *, safe: bool = False, reps: int = 20,

@@ -224,6 +224,53 @@ int pt_mulmod(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
   return rc;
 }
 
+// Batched modular inverse: out[i*ml..] = a_i^{-1} mod m.  Returns the
+// number of non-invertible elements (their outputs are zeroed), or -1 on
+// a zero modulus.  Threaded the same way as pt_powm_batch; used for the
+// per-proof inverse batches in DDLEQ/threshold combining (reference
+// computes these one ModInverse at a time, ddleq.go:96, thresholdkey.go:132).
+long pt_modinv_batch(const uint8_t *as, size_t n, size_t stride,
+                     const uint8_t *m, size_t ml, uint8_t *out,
+                     int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  {
+    mpz_t zm;
+    __gmpz_init(zm);
+    import_be(zm, m, ml);
+    int zero = __gmpz_cmp_ui(zm, 0) == 0;
+    __gmpz_clear(zm);
+    if (zero) return -1;
+  }
+  std::atomic<size_t> next(0);
+  std::atomic<long> bad(0);
+  auto worker = [&]() {
+    mpz_t za, zm, zr;
+    __gmpz_init(za);
+    __gmpz_init(zm);
+    __gmpz_init(zr);
+    import_be(zm, m, ml);
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= n) break;
+      import_be(za, as + i * stride, stride);
+      if (__gmpz_invert(zr, za, zm)) {
+        export_be(out + i * ml, ml, zr);
+      } else {
+        std::memset(out + i * ml, 0, ml);
+        bad.fetch_add(1);
+      }
+    }
+    __gmpz_clear(za);
+    __gmpz_clear(zm);
+    __gmpz_clear(zr);
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto &th : ts) th.join();
+  return bad.load();
+}
+
 // ---------------------------------------------------------------------------
 // Batch prime filtering (reference safe_prime.go:61-266).  The caller draws
 // full-entropy candidates from its own CSPRNG (the reference reads

@@ -5,12 +5,24 @@ Proves ct2 = ct1^(a^n mod n^2) * b^(n^2) mod n^3 (the NestedRandomize
 relation) without revealing (a, b).  A proof is ``secpar`` independent
 Fiat-Shamir instances, each with soundness 1/2.
 
-TPU-first batching: the reference loops instances sequentially
-(ddleq.go:32-37); here all (proof, instance) pairs form one flat batch
-axis and every modexp runs as a single batched device ladder.  The
-Fiat-Shamir challenge bit preserves the reference's random-oracle quirk
-of skipping the first hash input (random_oracle.go:24-26) — ct1.C is not
-bound by the digest.
+TPU-first batching (the reference loops instances sequentially,
+ddleq.go:32-37): all (proof, instance) pairs form one flat batch axis
+and the whole pipeline stays on device —
+
+* every modexp is one batched ladder (shared-exponent or per-element
+  device-extracted digits);
+* Fiat-Shamir challenges run through the vectorized device SHA-256
+  (ops/sha256.py), preserving the reference oracle's skip-first-input
+  quirk (random_oracle.go:24-26): ct1.C is not bound by the digest;
+* the only host arithmetic is one *per-proof* (not per-instance) batch
+  of modular inverses (native GMP, threaded), using t^{-e^n} =
+  (t^{-1})^{e^n} so B inverses replace B*secpar;
+* randomness arrives as vectorized limb tensors
+  (ops.random.random_units_limbs), never via per-element Python loops.
+
+Proof fields are limb tensors [B, S, limbs]; ``to_ints``/``from_ints``
+convert to the reference's per-instance integer view for tests and
+serialization.
 """
 
 from __future__ import annotations
@@ -18,38 +30,66 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bigint import host, vpu
+from ..bigint import host
 from ..bigint import montgomery as mont
 from ..core import homomorphic as hom
 from ..core.keys import (LEVEL_TWO, Ciphertext, PublicKey, SecretKey,
                          decode_batch, encode_batch)
 from ..ops import random as prand
-from ..ops.oracle import oracle_bit
+from ..ops.sha256 import concat_be, limbs_to_be_bytes, sha256_bytes
 
 
 @dataclass
 class DDLEQProof:
-    """Batched proof: B proofs x S instances (reference DDLEQProof holds
-    S instances for one ciphertext pair; ddleq.go:15-19)."""
+    """Batched proof: B proofs x S instances, limb tensors (the reference
+    DDLEQProof holds S integer instances for one pair; ddleq.go:15-19)."""
 
-    x: List[List[int]]       # [B][S]
-    y: List[List[int]]
-    alpha: List[List[int]]
-    e: List[List[int]]
-    f: List[List[int]]
+    x: jnp.ndarray        # uint32 [B, S, L]   (x < n)
+    y: jnp.ndarray        # uint32 [B, S, L]   (y < n)
+    alpha: jnp.ndarray    # uint32 [B, S, 3L]  (mod n^3)
+    e: jnp.ndarray        # uint32 [B, S, 2L]  (mod n^2)
+    f: jnp.ndarray        # uint32 [B, S, 3L]  (mod n^3)
 
     @property
     def secpar(self) -> int:
-        return len(self.x[0])
+        return self.x.shape[1]
+
+    def to_ints(self) -> dict:
+        """Per-instance integer view {field: [B][S] ints}."""
+        out = {}
+        for name in ("x", "y", "alpha", "e", "f"):
+            arr = np.asarray(jax.device_get(getattr(self, name)))
+            B, S, L = arr.shape
+            flat = host.limbs_to_ints(arr.reshape(B * S, L))
+            out[name] = [flat[i * S:(i + 1) * S] for i in range(B)]
+        return out
+
+    @classmethod
+    def from_ints(cls, x, y, alpha, e, f, L: int) -> "DDLEQProof":
+        def enc(rows, width):
+            B, S = len(rows), len(rows[0])
+            flat = [v for row in rows for v in row]
+            return jnp.asarray(host.ints_to_limbs(flat, width)
+                               ).reshape(B, S, width)
+        return cls(x=enc(x, L), y=enc(y, L), alpha=enc(alpha, 3 * L),
+                   e=enc(e, 2 * L), f=enc(f, 3 * L))
 
 
-def _flat_digits(vals: Sequence[int], bits: int, window: int) -> jnp.ndarray:
-    nd = mont.n_digits_for_bits(bits, window)
-    return jnp.asarray(np.stack(
-        [mont.exp_digits(v, window, nd) for v in vals]))
+def _challenge_bits(c2_rep: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    alpha: jnp.ndarray) -> jnp.ndarray:
+    """Fiat-Shamir bit per instance = SHA256(c2 || x || y || alpha) mod 2
+    (ddleq.go:91 via random_oracle.go:10-32; ct1.C is skipped by the
+    oracle quirk).  All inputs are minimal big-endian encodings."""
+    parts = [limbs_to_be_bytes(c2_rep), limbs_to_be_bytes(x),
+             limbs_to_be_bytes(y), limbs_to_be_bytes(alpha)]
+    out_len = sum(p[0].shape[-1] for p in parts)
+    buf, ln = concat_be(parts, out_len)
+    digest = sha256_bytes(buf, ln, max_len=out_len)
+    return digest[:, 7] & 1                      # digest mod 2
 
 
 def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
@@ -63,124 +103,110 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     dk = sk.device()
     L = dk.L
     n, n2, n3 = sk.n, sk.n2, sk.n3
-    c1_vals = decode_batch(ct1.c.reshape((-1, 3 * L)))
-    c2_vals = decode_batch(ct2.c.reshape((-1, 3 * L)))
-    B = len(c1_vals)
+    c1 = ct1.c.reshape((-1, 3 * L))
+    c2 = ct2.c.reshape((-1, 3 * L))
+    B = c1.shape[0]
     S = secpar
+    BS = B * S
 
-    # sanity check the relation (ddleq.go:62-69)
-    an_list = [pow(a, n, n2) for a in a_list]
-    for c1, c2, an, b in zip(c1_vals, c2_vals, an_list, b_list):
-        if (pow(c1, an, n3) * pow(b, n2, n3)) % n3 != c2:
-            raise ValueError(
-                "cannot prove re-encryption because inputs are wrong")
+    # a^n mod n^2, device (shared exponent n), reused for both the sanity
+    # check and t = s^(a^n) * b
+    A = encode_batch(a_list, 2 * L)
+    an = dk.pow_int(1, A, n, window)                      # [B, 2L]
+    an_digits = mont.limbs_to_digits(an, 4)
+
+    # sanity-check the relation on device (ddleq.go:62-69)
+    Bv = encode_batch(b_list, 3 * L)
+    bn2 = dk.pow_int(2, Bv, n2, window)
+    c1an = dk.pow(2, c1, an_digits, 4)
+    rel = mont.modmul(dk.ctx_n3, c1an, bn2)
+    if not bool(jnp.all(rel == c2)):
+        raise ValueError(
+            "cannot prove re-encryption because inputs are wrong")
 
     # s = extracted randomness of ct1, one per proof (ddleq.go:103)
     s_vals = hom.extract_randomness(sk, ct1, window)
+    S3 = encode_batch(s_vals, 3 * L)                      # [B, 3L]
 
-    # per-(proof, instance) randomness
-    xs = [[prand.random_unit(n, rng) for _ in range(S)] for _ in range(B)]
-    ys = [[prand.random_unit(n, rng) for _ in range(S)] for _ in range(B)]
-    flat_x = [x for row in xs for x in row]
-    flat_y = [y for row in ys for y in row]
+    # per-(proof, instance) randomness, vectorized (ddleq.go:71-79)
+    X = jnp.asarray(prand.random_units_limbs(n, BS, rng, L))   # [BS, L]
+    Y = jnp.asarray(prand.random_units_limbs(n, BS, rng, L))
 
-    ctx2, ctx3 = dk.ctx_n2, dk.ctx_n3
+    X2 = jnp.pad(X, ((0, 0), (0, L)))                     # [BS, 2L]
+    Y3 = jnp.pad(Y, ((0, 0), (0, 2 * L)))                 # [BS, 3L]
 
     # x^n mod n^2 and y^(n^2) mod n^3, shared exponents (ddleq.go:81-82)
-    X = encode_batch(flat_x, 2 * L)
-    Y = encode_batch(flat_y, 3 * L)
-    xn = dk.pow_int(1, X, n, window)
-    yn2 = dk.pow_int(2, Y, n2, window)
+    xn = dk.pow_int(1, X2, n, window)                     # [BS, 2L]
+    yn2 = dk.pow_int(2, Y3, n2, window)                   # [BS, 3L]
+    xn_digits = mont.limbs_to_digits(xn, 4)
 
     # alpha = ct1^(x^n) * y^(n^2) mod n^3 (ddleq.go:85-87)
-    # device-extracted exponent digits use window 4 (must divide 16)
-    c1_rep = jnp.repeat(ct1.c.reshape((-1, 3 * L)), S, axis=0)
-    xn_digits = mont.limbs_to_digits(xn, 4)
+    c1_rep = jnp.repeat(c1, S, axis=0)
+    c2_rep = jnp.repeat(c2, S, axis=0)
     c1x = dk.pow(2, c1_rep, xn_digits, 4)
-    alpha = mont.modmul(ctx3, c1x, yn2)
+    alpha = mont.modmul(dk.ctx_n3, c1x, yn2)
 
-    alpha_vals = decode_batch(alpha)
-    xn_vals = decode_batch(xn)
+    # challenge bits, device SHA-256 (ddleq.go:91)
+    chal = _challenge_bits(c2_rep, X, Y, alpha)           # uint32 [BS]
+    sel = (chal != 0)[:, None]
 
-    # challenge bits (ddleq.go:91); first argument skipped by the oracle
-    chal = [[oracle_bit(c1_vals[i], c2_vals[i], xs[i][j], ys[i][j],
-                        alpha_vals[i * S + j])
-             for j in range(S)] for i in range(B)]
+    # e = chal ? x * a^{-1} mod n^2 : x (ddleq.go:94-99); a^{-1} is one
+    # *per-proof* native batch inversion
+    ainv = host.modinv_batch([a % n2 for a in a_list], n2)
+    AI = jnp.repeat(encode_batch(ainv, 2 * L), S, axis=0)
+    xa = mont.modmul(dk.ctx_n2, X2, AI)
+    e = jnp.where(sel, xa, X2)                            # [BS, 2L]
 
-    # e = chal ? x * a^{-1} mod n^2 : x (ddleq.go:94-99)
-    ainv = [pow(a, -1, n2) for a in a_list]
-    es = [[(xs[i][j] * ainv[i]) % n2 if chal[i][j] else xs[i][j]
-           for j in range(S)] for i in range(B)]
+    # f = chal ? y * s^(x^n) * (s^(a^n) * b)^{-(e^n)} mod n^3 : y
+    # (ddleq.go:101-115) with t^{-e^n} = (t^{-1})^{e^n}: B inverses, not BS
+    s_an = dk.pow(2, S3, an_digits, 4)                    # [B, 3L]
+    t = mont.modmul(dk.ctx_n3, s_an, Bv)
+    t_ints = decode_batch(t)
+    tinv = host.modinv_batch(t_ints, n3)
+    TI = jnp.repeat(encode_batch(tinv, 3 * L), S, axis=0)
 
-    # f = chal ? y * s^(x^n) * (s^(a^n) * b)^{-(e^n mod n2)} mod n^3 : y
-    # (ddleq.go:101-115).  t_i = s^(a^n) * b mod n^3 is shared per proof.
-    t_vals = [(pow(s_vals[i], an_list[i], n3) * b_list[i]) % n3
-              for i in range(B)]
-    flat_e = [e for row in es for e in row]
-    E = encode_batch(flat_e, 2 * L)
-    en = dk.pow_int(1, E, n, window)                # e^n mod n^2
+    en = dk.pow_int(1, e, n, window)                      # e^n mod n^2
     en_digits = mont.limbs_to_digits(en, 4)
-    T = encode_batch([t_vals[i] for i in range(B) for _ in range(S)], 3 * L)
-    t_pow = dk.pow(2, T, en_digits, 4)
-    Srep = encode_batch([s_vals[i] for i in range(B) for _ in range(S)],
-                        3 * L)
-    s_xn = dk.pow(2, Srep, xn_digits, 4)
-    t_pow_vals = decode_batch(t_pow)
-    s_xn_vals = decode_batch(s_xn)
+    t_inv_pow = dk.pow(2, TI, en_digits, 4)               # t^{-e^n}
+    s_xn = dk.pow(2, jnp.repeat(S3, S, axis=0), xn_digits, 4)
+    f_true = mont.modmul(dk.ctx_n3, mont.modmul(dk.ctx_n3, Y3, s_xn),
+                         t_inv_pow)
+    f = jnp.where(sel, f_true, Y3)
 
-    fs = []
-    for i in range(B):
-        row = []
-        for j in range(S):
-            if chal[i][j]:
-                inv = pow(t_pow_vals[i * S + j], -1, n3)
-                row.append((ys[i][j] * s_xn_vals[i * S + j] * inv) % n3)
-            else:
-                row.append(ys[i][j])
-        fs.append(row)
-
-    return DDLEQProof(x=xs, y=ys,
-                      alpha=[[alpha_vals[i * S + j] for j in range(S)]
-                             for i in range(B)],
-                      e=es, f=fs)
+    shape = lambda a: a.reshape(B, S, a.shape[-1])
+    return DDLEQProof(x=shape(X), y=shape(Y), alpha=shape(alpha),
+                      e=shape(e), f=shape(f))
 
 
 def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
            proof: DDLEQProof, window: int = 4) -> List[bool]:
-    """VerifyDDLEQProof (ddleq.go:44-53, 129-153), batched.  Returns one
-    bool per proof (all S instances must check)."""
+    """VerifyDDLEQProof (ddleq.go:44-53, 129-153), batched on device.
+    Returns one bool per proof (all S instances must check)."""
     dk = pk.device()
     L = dk.L
-    n, n2, n3 = pk.n, pk.n2, pk.n3
-    ctx2, ctx3 = dk.ctx_n2, dk.ctx_n3
-    c1_vals = decode_batch(ct1.c.reshape((-1, 3 * L)))
-    c2_vals = decode_batch(ct2.c.reshape((-1, 3 * L)))
-    B = len(proof.x)
-    S = proof.secpar
+    n, n2 = pk.n, pk.n2
+    c1 = ct1.c.reshape((-1, 3 * L))
+    c2 = ct2.c.reshape((-1, 3 * L))
+    B, S = proof.x.shape[:2]
 
-    chal = [[oracle_bit(c1_vals[i], c2_vals[i], proof.x[i][j],
-                        proof.y[i][j], proof.alpha[i][j])
-             for j in range(S)] for i in range(B)]
+    X = proof.x.reshape(B * S, L)
+    Y = proof.y.reshape(B * S, L)
+    alpha = proof.alpha.reshape(B * S, 3 * L)
+    E = proof.e.reshape(B * S, 2 * L)
+    F = proof.f.reshape(B * S, 3 * L)
 
-    flat_e = [e for row in proof.e for e in row]
-    flat_f = [f for row in proof.f for f in row]
-    E = encode_batch(flat_e, 2 * L)
-    F = encode_batch(flat_f, 3 * L)
-    en = dk.pow_int(1, E, n, window)                 # e^n mod n^2
-    fn2 = dk.pow_int(2, F, n2, window)               # f^(n^2) mod n^3
+    c1_rep = jnp.repeat(c1, S, axis=0)
+    c2_rep = jnp.repeat(c2, S, axis=0)
 
-    # base = chal ? ct2 : ct1, per instance
-    bases = encode_batch(
-        [c2_vals[i] if chal[i][j] else c1_vals[i]
-         for i in range(B) for j in range(S)], 3 * L)
+    chal = _challenge_bits(c2_rep, X, Y, alpha)
+    sel = (chal != 0)[:, None]
+
+    en = dk.pow_int(1, E, n, window)                      # e^n mod n^2
+    fn2 = dk.pow_int(2, F, n2, window)                    # f^(n^2) mod n^3
+    base = jnp.where(sel, c2_rep, c1_rep)
     en_digits = mont.limbs_to_digits(en, 4)
-    powed = dk.pow(2, bases, en_digits, 4)
-    check = mont.modmul(ctx3, powed, fn2)
-    check_vals = decode_batch(check)
+    powed = dk.pow(2, base, en_digits, 4)
+    check = mont.modmul(dk.ctx_n3, powed, fn2)
 
-    out = []
-    for i in range(B):
-        ok = all(check_vals[i * S + j] == proof.alpha[i][j]
-                 for j in range(S))
-        out.append(ok)
-    return out
+    ok = jnp.all(check == alpha, axis=-1).reshape(B, S)
+    return [bool(v) for v in np.asarray(jax.device_get(jnp.all(ok, axis=1)))]

@@ -59,13 +59,47 @@ class TestDdleq:
     def test_tampered_instance_rejected(self, setup, rng):
         sk, pk, ct1, ct2, a_l, b_l = setup
         proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
-        proof.f[0][0] = (proof.f[0][0] + 1) % pk.n3
-        results = verify(pk, ct1, ct2, proof)
+        ints = proof.to_ints()
+        ints["f"][0][0] = (ints["f"][0][0] + 1) % pk.n3
+        tampered = DDLEQProof.from_ints(L=pk.device().L, **ints)
+        results = verify(pk, ct1, ct2, tampered)
         assert results[0] is False or results[0] == False  # noqa: E712
         assert all(results[1:])
+
+    def test_proof_int_roundtrip(self, setup, rng):
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
+        ints = proof.to_ints()
+        rebuilt = DDLEQProof.from_ints(L=pk.device().L, **ints)
+        assert verify(pk, ct1, ct2, rebuilt) == [True] * 3
+        # e/f really are mod n^2 / mod n^3 values
+        assert all(v < pk.n2 for row in ints["e"] for v in row)
+        assert all(v < pk.n3 for row in ints["f"] for v in row)
 
     def test_wrong_inputs_raise(self, setup, rng):
         sk, pk, ct1, ct2, a_l, b_l = setup
         bad_a = [a + 1 for a in a_l]
         with pytest.raises(ValueError):
             prove(sk, ct1, ct2, bad_a, b_l, SECPAR, rng)
+
+    def test_host_reference_parity(self, setup, rng):
+        """Re-verify every instance with pure-Python reference formulas
+        (ddleq.go:129-153 + random_oracle.go:10-32): pins the device
+        SHA-256 challenge and the device ladders to Go semantics."""
+        from paillier_tpu.core.keys import decode_batch
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        n, n2, n3 = pk.n, pk.n2, pk.n3
+        proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
+        ints = proof.to_ints()
+        L = pk.device().L
+        c1_vals = decode_batch(ct1.c.reshape((-1, 3 * L)))
+        c2_vals = decode_batch(ct2.c.reshape((-1, 3 * L)))
+        for i in range(len(c1_vals)):
+            for j in range(SECPAR):
+                chal = oracle_bit(c1_vals[i], c2_vals[i], ints["x"][i][j],
+                                  ints["y"][i][j], ints["alpha"][i][j])
+                base = c2_vals[i] if chal else c1_vals[i]
+                en = pow(ints["e"][i][j], n, n2)
+                want = (pow(base, en, n3)
+                        * pow(ints["f"][i][j], n2, n3)) % n3
+                assert want == ints["alpha"][i][j]

@@ -111,3 +111,71 @@ def test_engine_dispatch_unified_api():
         out = eng.pow(eng.from_limbs(xl), digits, 4)
         vals = host.limbs_to_ints(np.asarray(eng.to_limbs(out)))
         assert [v % n for v in vals] == [pow(x, e, n) for x in xs], kind
+
+
+# ---------------------------------------------------------------------------
+# Interpret-mode parity for the production Pallas kernels (VERDICT r1 #3):
+# the exact hardware code paths (grid, BlockSpecs, scratch, SMEM digits)
+# execute in the Pallas interpreter on CPU and must match Python pow.
+# ---------------------------------------------------------------------------
+
+def test_pallas_modexp_kernel_interpret_shared(eng256):
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_pallas
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(16)]
+    e = random.getrandbits(120)
+    nd = mont.n_digits_for_bits(e.bit_length(), 4)
+    digits = jnp.asarray(mont.exp_digits(e, 4, nd))
+    out = rns2_pow_pallas(eng.ctx, eng.encode(xs), digits, 4, block=8,
+                          interpret=True)
+    assert eng.decode(out) == [pow(x, e, n) for x in xs]
+
+
+def test_pallas_modexp_kernel_interpret_per_element(eng256):
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_pallas
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(8)]
+    es = [random.getrandbits(96) | 1 for _ in range(8)]
+    nd = mont.n_digits_for_bits(96, 4)
+    digits = jnp.asarray(np.stack([mont.exp_digits(e, 4, nd) for e in es]))
+    out = rns2_pow_pallas(eng.ctx, eng.encode(xs), digits, 4, block=8,
+                          interpret=True)
+    assert eng.decode(out) == [pow(x, e, n) for x, e in zip(xs, es)]
+
+
+def test_pallas_sliding_kernel_interpret(eng256):
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_sliding_pallas
+    from paillier_tpu.bigint.rns2 import sliding_window_schedule
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(16)]
+    for e in (1, 2, 3, random.getrandbits(130) | (1 << 129)):
+        sched = jnp.asarray(sliding_window_schedule(e, 5))
+        out = rns2_pow_sliding_pallas(eng.ctx, eng.encode(xs), sched, 5,
+                                      block=8, interpret=True)
+        assert eng.decode(out) == [pow(x, e, n) for x in xs], e
+
+
+def test_pallas_fixed_base_kernel_interpret(eng256):
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_fixed_base_pallas
+    from paillier_tpu.bigint.rns2 import build_fixed_base_table
+    n, eng = eng256
+    base = random.randrange(2, n)
+    es = [random.getrandbits(60) for _ in range(8)]
+    nd = mont.n_digits_for_bits(60, 4)
+    table = build_fixed_base_table(eng, base, nd, 4)
+    digits = jnp.asarray(np.stack([mont.exp_digits(e, 4, nd) for e in es]))
+    out = rns2_pow_fixed_base_pallas(eng.ctx, table, digits, 4, block=8,
+                                     interpret=True)
+    assert eng.decode(out) == [pow(base, e, n) for e in es]
+
+
+def test_sliding_schedule_and_jnp_parity(eng256):
+    from paillier_tpu.bigint.rns2 import (rns2_pow_sliding_jnp,
+                                          sliding_window_schedule)
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(8)]
+    for e in (1, 5, 64, random.getrandbits(200)):
+        for w in (4, 6):
+            sched = jnp.asarray(sliding_window_schedule(e, w))
+            out = rns2_pow_sliding_jnp(eng.ctx, eng.encode(xs), sched, w)
+            assert eng.decode(out) == [pow(x, e, n) for x in xs], (e, w)
