@@ -17,7 +17,7 @@ element; ciphertext counts there are control-plane sized.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Iterable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,7 @@ def sub(pk: PublicKey, *cts: Ciphertext) -> Ciphertext:
     mod = pk.modulus_for_level(level)
     acc = cts[0].c
     for ct in cts[1:]:
-        inv = [pow(v, -1, mod) for v in decode_batch(ct.c)]
+        inv = host.modinv_batch(decode_batch(ct.c), mod)
         inv_l = encode_batch(inv, ct.c.shape[-1]).reshape(ct.c.shape)
         acc = mont.modmul(ctx, acc, inv_l)
     return Ciphertext(c=acc, level=level, method=MIXED)
@@ -154,6 +154,37 @@ def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0,
     return Ciphertext(c=out, level=ct.level, method=MIXED)
 
 
+def aggregate_streaming(pk: PublicKey, chunks: Iterable[Ciphertext],
+                        engine: str = "auto") -> Ciphertext:
+    """Homomorphic sum over an unbounded stream of ciphertext batches.
+
+    Each chunk is reduced on device with :func:`aggregate` and the
+    running partial is folded in with one modular multiply, so device
+    memory stays bounded by one chunk regardless of the stream length
+    (config #3: 1M-ciphertext aggregation through the library API, not
+    a bench-side loop).  Chunks may have different batch sizes.
+    """
+    partial = None
+    level = None
+    for ct in chunks:
+        if level is None:
+            level = ct.level
+        elif ct.level != level:
+            raise ValueError("cannot aggregate ciphertexts at "
+                             "different levels")
+        p = aggregate(pk, ct, axis=0, engine=engine)
+        if partial is None:
+            partial = p
+        else:
+            ctx = _ctx(pk, level)
+            partial = Ciphertext(
+                c=mont.modmul(ctx, partial.c, p.c), level=level,
+                method=MIXED)
+    if partial is None:
+        raise ValueError("aggregate_streaming needs at least one chunk")
+    return partial
+
+
 def _tree_r_power(m: int) -> int:
     """Total R^{-1} deficit of the product tree for m elements (exact)."""
     # every mont_mul halving step multiplies pairs; track the exponent of
@@ -189,7 +220,7 @@ def nested_sub(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
     if ct1.level != LEVEL_TWO or ct2.level != LEVEL_ONE:
         raise ValueError("nested_sub needs (level-2, level-1) ciphertexts")
     mod = pk.n2
-    inv = [pow(v, -1, mod) for v in decode_batch(ct2.c)]
+    inv = host.modinv_batch(decode_batch(ct2.c), mod)
     inv_l = encode_batch(inv, ct2.c.shape[-1]).reshape(ct2.c.shape)
     return nested_add(pk, ct1, Ciphertext(c=inv_l, level=LEVEL_ONE))
 

@@ -129,7 +129,7 @@ def distributed_combine(tpk, server_powed: jnp.ndarray, signs: Sequence[int],
     pos_vals = decode_batch(out[0])
     neg_vals = decode_batch(out[1])
     n2 = tpk.n2
-    cprimes = [(p * pow(v, -1, n2)) % n2
-               for p, v in zip(pos_vals, neg_vals)]
+    neg_inv = host.modinv_batch(neg_vals, n2)
+    cprimes = [(p * v) % n2 for p, v in zip(pos_vals, neg_inv)]
     const = tpk.combine_shares_constant
     return [(const * ((cp - 1) // tpk.n)) % tpk.n for cp in cprimes]

@@ -117,7 +117,7 @@ def combine(tpk: ThresholdPublicKey,
 
     # c' = pos * neg^{-1} mod n^2 — one batched inverse via host xgcd
     neg_vals = decode_batch(neg.reshape((-1, 2 * L)))
-    inv_vals = [pow(v, -1, tpk.n2) for v in neg_vals]
+    inv_vals = host.modinv_batch(neg_vals, tpk.n2)
     neg_inv = encode_batch(inv_vals, 2 * L).reshape(neg.shape)
     cprime = mont.modmul(ctx, pos, neg_inv)
 
@@ -142,7 +142,7 @@ def combine_ints(tpk: ThresholdPublicKey,
         if lam2 >= 0:
             cprime = (cprime * pow(s.decryption, lam2, tpk.n2)) % tpk.n2
         else:
-            cprime = (cprime * pow(pow(s.decryption, -lam2, tpk.n2), -1,
-                                   tpk.n2)) % tpk.n2
+            cprime = (cprime * host.modinv(
+                pow(s.decryption, -lam2, tpk.n2), tpk.n2)) % tpk.n2
     lval = (cprime - 1) // tpk.n
     return (tpk.combine_shares_constant * lval) % tpk.n

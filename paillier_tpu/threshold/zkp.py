@@ -82,11 +82,26 @@ def verify_proof(pd: PartialDecryptionZKP) -> bool:
     ci2 = pd.decryption ** 2
     # a = (c^4)^Z * (c_i^2)^{-E} mod n^2
     a = (pow(c4 % n2, pd.z, n2)
-         * pow(pow(ci2 % n2, pd.e, n2), -1, n2)) % n2
+         * host.modinv(pow(ci2 % n2, pd.e, n2), n2)) % n2
     # b = V^Z * (v_i)^{-E} mod n^2
     vi = tpk.vi[pd.id - 1]
-    b = (pow(tpk.v, pd.z, n2) * pow(pow(vi, pd.e, n2), -1, n2)) % n2
+    b = (pow(tpk.v, pd.z, n2)
+         * host.modinv(pow(vi, pd.e, n2), n2)) % n2
     return zkp_hash(a, b, c4, ci2) == pd.e
+
+
+def verify_partial_decryption(tsk: ThresholdSecretKey, rng=None) -> None:
+    """Self-test of one share (reference VerifyPartialDecryption,
+    thresholdkey.go:258-275): encrypt a random message under the public
+    key, produce this share's ZKP partial decryption, and verify the
+    proof.  Raises ValueError("Invalid share") on failure."""
+    from ..core.encrypt import Encryptor
+    rng = rng or prand.make_rng()
+    m = rng.randrange(tsk.n)
+    ct = Encryptor(tsk.public(), rng=rng).encrypt([m])
+    proofs = partial_decrypt_with_zkp(tsk, ct, rng)
+    if not all(verify_proof(p) for p in proofs):
+        raise ValueError("Invalid share")
 
 
 def combine_with_zkp(tpk: ThresholdPublicKey,

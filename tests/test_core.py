@@ -165,6 +165,20 @@ class TestHomomorphic:
             got = dec.decrypt(Ciphertext(c=agg.c[None], level=LEVEL_ONE))
             assert got == [sum(vals[:M]) % pk.n], f"M={M}"
 
+    def test_aggregate_streaming(self, keypair_128, rng):
+        # chunked/streaming aggregation matches the one-shot tree
+        # (config #3 through the library API)
+        sk, pk = keypair_128
+        enc = Encryptor(pk, LEVEL_ONE, rng=rng)
+        dec = Decryptor(sk, LEVEL_ONE)
+        vals = [rng.randrange(1000) for _ in range(48)]
+        cts = enc.encrypt(vals)
+        chunks = (Ciphertext(c=cts.c[i:i + 16], level=LEVEL_ONE)
+                  for i in range(0, 48, 16))
+        agg = hom.aggregate_streaming(pk, chunks)
+        got = dec.decrypt(Ciphertext(c=agg.c[None], level=LEVEL_ONE))
+        assert got == [sum(vals) % pk.n]
+
     def test_nested_ops(self, keypair_128, rng):
         sk, pk = keypair_128
         xs = [rng.randrange(pk.n) for _ in range(4)]

@@ -26,7 +26,9 @@ from paillier_tpu.threshold.safe_prime import (SafePrimeTimeout,
                                                is_safe_prime)
 from paillier_tpu.threshold.zkp import (combine_with_zkp,
                                         partial_decrypt_with_zkp,
-                                        verify_decryption, verify_proof)
+                                        verify_decryption,
+                                        verify_partial_decryption,
+                                        verify_proof)
 
 R = random.Random(31337)
 
@@ -218,6 +220,15 @@ class TestZkp:
         assert not verify_proof(proofs[0][0])
         # filtered out, but enough remain -> still decrypts
         assert combine_with_zkp(tpk, proofs) == [100]
+
+    def test_verify_partial_decryption_self_test(self, tkeys, rng):
+        # thresholdkey.go:258-275: each share self-verifies; a corrupted
+        # share does not
+        verify_partial_decryption(tkeys[0], rng)
+        import dataclasses
+        bad = dataclasses.replace(tkeys[1], share=tkeys[1].share + 1)
+        with pytest.raises(ValueError, match="Invalid share"):
+            verify_partial_decryption(bad, rng)
 
     def test_verify_decryption(self, tkeys, rng):
         # thresholdkey_test.go:357-394
