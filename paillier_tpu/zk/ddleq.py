@@ -20,6 +20,13 @@ and the whole pipeline stays on device —
 * randomness arrives as vectorized limb tensors
   (ops.random.random_units_limbs), never via per-element Python loops.
 
+Multi-chip (BASELINE config #5, 64k proofs): pass ``mesh=`` to
+:func:`prove`/:func:`verify` and the device stages run under
+``shard_map`` with the (proof, instance) batch sharded over the mesh's
+batch axis.  Every stage is elementwise over that axis, so the sharded
+path needs no collectives at all — communication is exactly the final
+[B*S] verdict gather.
+
 Proof fields are limb tensors [B, S, limbs]; ``to_ints``/``from_ints``
 convert to the reference's per-instance integer view for tests and
 serialization.
@@ -28,11 +35,14 @@ serialization.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..bigint import host
 from ..bigint import montgomery as mont
@@ -92,11 +102,30 @@ def _challenge_bits(c2_rep: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return digest[:, 7] & 1                      # digest mod 2
 
 
+def _shard_flat(mesh, fn, *arrays):
+    """Run ``fn(*arrays)`` under shard_map with every array's leading
+    (flattened proof-instance) axis sharded over the mesh batch axis.
+    All DDLEQ stages are elementwise over that axis — no collectives."""
+    from ..parallel.mesh import BATCH_AXIS
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    B0 = arrays[0].shape[0]
+    if B0 % n_dev:
+        raise ValueError(f"flat batch {B0} must divide the {n_dev}-device "
+                         "mesh (pad the proof batch)")
+    spec_in = tuple(P(BATCH_AXIS, *([None] * (a.ndim - 1))) for a in arrays)
+    wrapped = shard_map(fn, mesh=mesh, in_specs=spec_in,
+                        out_specs=P(BATCH_AXIS), check_vma=False)
+    return jax.jit(wrapped)(*arrays)
+
+
 def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
           a_list: Sequence[int], b_list: Sequence[int], secpar: int,
-          rng=None, window: int = 4) -> DDLEQProof:
+          rng=None, window: int = 4, mesh=None) -> DDLEQProof:
     """ProveDDLEQ (ddleq.go:27-40, 55-127), batched over proofs and
-    instances.  Requires the secret key (randomness extraction)."""
+    instances.  Requires the secret key (randomness extraction).
+
+    With ``mesh``, the two per-instance device stages (commitments and
+    responses) run sharded over the mesh batch axis."""
     rng = rng or prand.make_rng()
     if ct1.level != LEVEL_TWO or ct2.level != LEVEL_TWO:
         raise ValueError("DDLEQ operates on level-2 (nested) ciphertexts")
@@ -135,27 +164,31 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     X2 = jnp.pad(X, ((0, 0), (0, L)))                     # [BS, 2L]
     Y3 = jnp.pad(Y, ((0, 0), (0, 2 * L)))                 # [BS, 3L]
 
-    # x^n mod n^2 and y^(n^2) mod n^3, shared exponents (ddleq.go:81-82)
-    xn = dk.pow_int(1, X2, n, window)                     # [BS, 2L]
-    yn2 = dk.pow_int(2, Y3, n2, window)                   # [BS, 3L]
-    xn_digits = mont.limbs_to_digits(xn, 4)
-
-    # alpha = ct1^(x^n) * y^(n^2) mod n^3 (ddleq.go:85-87)
     c1_rep = jnp.repeat(c1, S, axis=0)
     c2_rep = jnp.repeat(c2, S, axis=0)
-    c1x = dk.pow(2, c1_rep, xn_digits, 4)
-    alpha = mont.modmul(dk.ctx_n3, c1x, yn2)
 
-    # challenge bits, device SHA-256 (ddleq.go:91)
-    chal = _challenge_bits(c2_rep, X, Y, alpha)           # uint32 [BS]
+    def commit_stage(x2, y3, c1r, c2r):
+        """x^n, y^(n^2), alpha = ct1^(x^n) * y^(n^2), challenge bits
+        (ddleq.go:81-91).  Elementwise over the flat instance axis."""
+        xn = dk.pow_int(1, x2, n, window)                 # [., 2L]
+        yn2 = dk.pow_int(2, y3, n2, window)               # [., 3L]
+        xd = mont.limbs_to_digits(xn, 4)
+        c1x = dk.pow(2, c1r, xd, 4)
+        alph = mont.modmul(dk.ctx_n3, c1x, yn2)
+        ch = _challenge_bits(c2r, x2[..., :L], y3[..., :L], alph)
+        return xn, alph, ch
+
+    if mesh is None:
+        xn, alpha, chal = commit_stage(X2, Y3, c1_rep, c2_rep)
+    else:
+        xn, alpha, chal = _shard_flat(mesh, commit_stage,
+                                      X2, Y3, c1_rep, c2_rep)
     sel = (chal != 0)[:, None]
 
     # e = chal ? x * a^{-1} mod n^2 : x (ddleq.go:94-99); a^{-1} is one
     # *per-proof* native batch inversion
     ainv = host.modinv_batch([a % n2 for a in a_list], n2)
     AI = jnp.repeat(encode_batch(ainv, 2 * L), S, axis=0)
-    xa = mont.modmul(dk.ctx_n2, X2, AI)
-    e = jnp.where(sel, xa, X2)                            # [BS, 2L]
 
     # f = chal ? y * s^(x^n) * (s^(a^n) * b)^{-(e^n)} mod n^3 : y
     # (ddleq.go:101-115) with t^{-e^n} = (t^{-1})^{e^n}: B inverses, not BS
@@ -164,14 +197,28 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     t_ints = decode_batch(t)
     tinv = host.modinv_batch(t_ints, n3)
     TI = jnp.repeat(encode_batch(tinv, 3 * L), S, axis=0)
+    S3_rep = jnp.repeat(S3, S, axis=0)
 
-    en = dk.pow_int(1, e, n, window)                      # e^n mod n^2
-    en_digits = mont.limbs_to_digits(en, 4)
-    t_inv_pow = dk.pow(2, TI, en_digits, 4)               # t^{-e^n}
-    s_xn = dk.pow(2, jnp.repeat(S3, S, axis=0), xn_digits, 4)
-    f_true = mont.modmul(dk.ctx_n3, mont.modmul(dk.ctx_n3, Y3, s_xn),
-                         t_inv_pow)
-    f = jnp.where(sel, f_true, Y3)
+    def response_stage(selb, x2, y3, ai, ti, s3r, xnr):
+        """e and f responses (ddleq.go:94-115), elementwise over the
+        flat instance axis."""
+        xa = mont.modmul(dk.ctx_n2, x2, ai)
+        e_out = jnp.where(selb, xa, x2)                   # [., 2L]
+        en = dk.pow_int(1, e_out, n, window)              # e^n mod n^2
+        ed = mont.limbs_to_digits(en, 4)
+        t_inv_pow = dk.pow(2, ti, ed, 4)                  # t^{-e^n}
+        xd = mont.limbs_to_digits(xnr, 4)
+        s_xn = dk.pow(2, s3r, xd, 4)
+        f_true = mont.modmul(dk.ctx_n3,
+                             mont.modmul(dk.ctx_n3, y3, s_xn), t_inv_pow)
+        f_out = jnp.where(selb, f_true, y3)
+        return e_out, f_out
+
+    if mesh is None:
+        e, f = response_stage(sel, X2, Y3, AI, TI, S3_rep, xn)
+    else:
+        e, f = _shard_flat(mesh, response_stage,
+                           sel, X2, Y3, AI, TI, S3_rep, xn)
 
     shape = lambda a: a.reshape(B, S, a.shape[-1])
     return DDLEQProof(x=shape(X), y=shape(Y), alpha=shape(alpha),
@@ -179,9 +226,12 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
 
 
 def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
-           proof: DDLEQProof, window: int = 4) -> List[bool]:
+           proof: DDLEQProof, window: int = 4, mesh=None) -> List[bool]:
     """VerifyDDLEQProof (ddleq.go:44-53, 129-153), batched on device.
-    Returns one bool per proof (all S instances must check)."""
+    Returns one bool per proof (all S instances must check).
+
+    With ``mesh``, the whole check runs sharded over the mesh batch axis
+    (one [B*S] bool gather is the only cross-device traffic)."""
     dk = pk.device()
     L = dk.L
     n, n2 = pk.n, pk.n2
@@ -198,15 +248,21 @@ def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
     c1_rep = jnp.repeat(c1, S, axis=0)
     c2_rep = jnp.repeat(c2, S, axis=0)
 
-    chal = _challenge_bits(c2_rep, X, Y, alpha)
-    sel = (chal != 0)[:, None]
+    def check_stage(x, y, alph, e_in, f_in, c1r, c2r):
+        ch = _challenge_bits(c2r, x, y, alph)
+        selb = (ch != 0)[:, None]
+        en = dk.pow_int(1, e_in, n, window)               # e^n mod n^2
+        fn2 = dk.pow_int(2, f_in, n2, window)             # f^(n^2) mod n^3
+        base = jnp.where(selb, c2r, c1r)
+        ed = mont.limbs_to_digits(en, 4)
+        powed = dk.pow(2, base, ed, 4)
+        check = mont.modmul(dk.ctx_n3, powed, fn2)
+        return jnp.all(check == alph, axis=-1)
 
-    en = dk.pow_int(1, E, n, window)                      # e^n mod n^2
-    fn2 = dk.pow_int(2, F, n2, window)                    # f^(n^2) mod n^3
-    base = jnp.where(sel, c2_rep, c1_rep)
-    en_digits = mont.limbs_to_digits(en, 4)
-    powed = dk.pow(2, base, en_digits, 4)
-    check = mont.modmul(dk.ctx_n3, powed, fn2)
-
-    ok = jnp.all(check == alpha, axis=-1).reshape(B, S)
+    if mesh is None:
+        ok = check_stage(X, Y, alpha, E, F, c1_rep, c2_rep)
+    else:
+        ok = _shard_flat(mesh, check_stage, X, Y, alpha, E, F,
+                         c1_rep, c2_rep)
+    ok = ok.reshape(B, S)
     return [bool(v) for v in np.asarray(jax.device_get(jnp.all(ok, axis=1)))]

@@ -54,6 +54,37 @@ class TestShardedDataParallel:
         assert decode_batch(agg.c[None]) == decode_batch(single.c[None])
 
 
+class TestShardedDDLEQ:
+    def test_sharded_prove_verify_matches_single_device(self, keypair_128):
+        from paillier_tpu.core.encrypt import nested_encrypt
+        from paillier_tpu.zk.ddleq import prove, verify
+        sk, pk = keypair_128
+        mesh = make_mesh()
+        rng = random.Random(55)
+        ms = [rng.randrange(pk.n) for _ in range(2)]
+        ct1 = nested_encrypt(pk, ms, rng)
+        ct2, a_l, b_l = hom.nested_randomize(pk, ct1, rng)
+
+        # same host seed -> sharded and single-device proofs are
+        # bit-identical (multi-host determinism, SURVEY hard part #7)
+        seed_a, seed_b = random.Random(9), random.Random(9)
+        p_single = prove(sk, ct1, ct2, a_l, b_l, 8, seed_a)
+        p_shard = prove(sk, ct1, ct2, a_l, b_l, 8, seed_b, mesh=mesh)
+        for field in ("x", "y", "alpha", "e", "f"):
+            assert bool(jnp.all(getattr(p_single, field)
+                                == getattr(p_shard, field))), field
+
+        # sharded verify accepts, and cross-checks the unsharded path
+        assert verify(pk, ct1, ct2, p_shard, mesh=mesh) == [True, True]
+        assert verify(pk, ct1, ct2, p_shard) == [True, True]
+
+        # tampering one instance flips only that proof under sharded verify
+        bad = p_shard.e.at[1, 3, 0].add(1)
+        import dataclasses
+        tampered = dataclasses.replace(p_shard, e=bad)
+        assert verify(pk, ct1, ct2, tampered, mesh=mesh) == [True, False]
+
+
 class TestDistributedThreshold:
     def test_server_axis_combine(self, rng):
         l, t = 4, 3
