@@ -147,22 +147,79 @@ def bench_threshold(bits=2048, batch=4096, l=5, t_=3, window=5):
     return batch / dt
 
 
-def bench_ddleq(bits=2048, proofs=64, secpar=40, window=5):
-    """Batched DDLEQ prove+verify throughput (config #5 single-host;
-    reported as proofs/sec for prove+verify together)."""
+def bench_ddleq(bits=2048, proofs=256, secpar=40, window=5, chunk=128):
+    """Batched DDLEQ prove+verify throughput (config #5; proofs/sec for
+    prove+verify together).  Processes the proof batch in chunks of
+    ``chunk`` with device memory bounded per chunk, so the same loop
+    scales to the 64k-proof configuration (wall time extrapolates
+    linearly: the pipeline is steady-state after the first chunk)."""
     from paillier_tpu.core import homomorphic as hom
     from paillier_tpu.core.encrypt import nested_encrypt
     from paillier_tpu.zk.ddleq import prove, verify
     sk, pk, rng = _key(bits)
-    ms = [rng.randrange(pk.n) for _ in range(proofs)]
+    ms = [rng.randrange(pk.n) for _ in range(chunk)]
     ct1 = nested_encrypt(pk, ms, rng)
     ct2, a_l, b_l = hom.nested_randomize(pk, ct1, rng)
-    t0 = time.perf_counter()
+    # warmup chunk (compiles every ladder)
     proof = prove(sk, ct1, ct2, a_l, b_l, secpar, rng, window)
-    ok = verify(pk, ct1, ct2, proof, window)
+    assert all(verify(pk, ct1, ct2, proof, window))
+    t0 = time.perf_counter()
+    done = 0
+    while done < proofs:
+        proof = prove(sk, ct1, ct2, a_l, b_l, secpar, rng, window)
+        ok = verify(pk, ct1, ct2, proof, window)
+        assert all(ok)
+        done += chunk
     dt = time.perf_counter() - t0
-    assert all(ok)
-    return proofs / dt
+    return done / dt
+
+
+def bench_weak_scaling(bits=2048, base=1024, factor=8, window=4):
+    """Single-chip batch weak-scaling of encryption: elements/sec at
+    factor*base vs base.  Ideal = 1.0 (throughput independent of batch);
+    this is the on-chip half of the BASELINE scaling target — the
+    sharded encryption path has no collectives, so per-chip throughput
+    at large local batch is the whole multi-host story for config #2."""
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE, encode_batch
+    sk, pk, rng = _key(bits)
+    dk = pk.device()
+    enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng)
+    thr = {}
+    for B in (base, base * factor):
+        ms = [rng.randrange(pk.n) for _ in range(B)]
+        rs = [rng.randrange(2, pk.n) for _ in range(B)]
+        m = encode_batch(ms, dk.L)
+        r = encode_batch(rs, 2 * dk.L)
+        thr[B] = B / _time(enc._fn, m, r)
+        print(f"# weak-scaling B={B}: {thr[B]:,.0f} enc/s", file=sys.stderr)
+    return thr[base * factor] / thr[base]
+
+
+def bench_mesh_scaling():
+    """Collective/partitioning overhead of the two sharded seams at mesh
+    sizes 1/2/4/8 (virtual CPU devices; fixed total work, so ideal
+    T(n) == T(1)).  Returns efficiency T(1)/T(8) for the aggregate seam;
+    prints the full table to stderr."""
+    import os
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    rows = []
+    for n in (1, 2, 4, 8):
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "scaling_probe.py"), str(n)],
+            capture_output=True, text=True, env=env, timeout=1200)
+        line = out.stdout.strip().splitlines()[-1]
+        rows.append(json.loads(line))
+        print(f"# mesh={n}: {line}", file=sys.stderr)
+    eff_agg = rows[0]["t_aggregate_s"] / rows[-1]["t_aggregate_s"]
+    eff_comb = rows[0]["t_combine_s"] / rows[-1]["t_combine_s"]
+    print(f"# efficiency 1->8 devices: aggregate {eff_agg:.2f}, "
+          f"combine {eff_comb:.2f}", file=sys.stderr)
+    return min(eff_agg, eff_comb)
 
 
 def emit(metric, value, unit, baseline):
@@ -182,6 +239,11 @@ def main():
     for a in args:
         if a == "enc2048":
             v = bench_encrypt(2048)
+            try:
+                from paillier_tpu.ops.profiling import encryption_roofline
+                print(encryption_roofline(2048).report(v), file=sys.stderr)
+            except Exception as ex:     # roofline must never break the bench
+                print(f"# roofline unavailable: {ex}", file=sys.stderr)
             emit("2048-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
         elif a == "enc2048alt":
             v = bench_encrypt_alt(2048)
@@ -205,6 +267,13 @@ def main():
             v = bench_ddleq(2048)
             emit("2048-bit DDLEQ prove+verify/sec (secpar=40)", v,
                  "proofs/s", 1_000)
+        elif a == "scaling":
+            v = bench_weak_scaling(2048)
+            emit("encryption batch weak-scaling efficiency (1 chip)", v,
+                 "ratio", 0.8)
+            v = bench_mesh_scaling()
+            emit("mesh scaling efficiency 1->8 dev (collective overhead)",
+                 v, "ratio", 0.8)
         else:
             print(f"unknown bench {a!r}", file=sys.stderr)
 

@@ -1,0 +1,90 @@
+"""Subprocess worker for the mesh scaling-efficiency harness.
+
+Measures wall time of the two collective seams at a FIXED total
+workload on an n-device mesh (virtual CPU devices when invoked by
+``bench.py scaling``):
+
+  * sharded_aggregate  — 1 all_gather of one residue per device
+  * distributed_combine — server-axis modular-product all-reduce
+
+On virtual devices all "chips" share the same cores, so T(1)/T(n)
+measures exactly the *collective + partitioning overhead* of the
+sharded program (ideal = 1.0); on real multi-chip hardware the same
+harness measures true scaling efficiency.
+
+Usage: scaling_probe.py <n_devices>   (prints one JSON line)
+"""
+import json
+import os
+import sys
+import time
+
+n_dev = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_force_host_platform_device_count={n_dev}")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import random
+
+import jax.numpy as jnp
+
+from paillier_tpu.bigint import montgomery as mont
+from paillier_tpu.core.encrypt import Encryptor
+from paillier_tpu.core.keys import LEVEL_ONE, Ciphertext
+from paillier_tpu.parallel.collective import (distributed_combine,
+                                              sharded_aggregate)
+from paillier_tpu.parallel.mesh import make_mesh, shard_batch
+from paillier_tpu.threshold.decrypt import compute_lambda, partial_decrypt
+from paillier_tpu.threshold.keygen import generate_threshold_keys
+
+
+def timeit(fn, iters=3):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
+    return (time.perf_counter() - t0) / iters
+
+
+rng = random.Random(0x5CA1E)
+B = 512                                  # fixed total work
+
+# --- aggregate seam (128-bit key) ---
+from paillier_tpu.core.keygen import keygen
+sk, pk = keygen(128, rng)
+enc = Encryptor(pk, LEVEL_ONE, rng=rng)
+ct = enc.encrypt([rng.randrange(pk.n) for _ in range(B)])
+mesh = make_mesh(n_dev)
+ct_sh = Ciphertext(c=shard_batch(ct.c, mesh), level=LEVEL_ONE)
+t_agg = timeit(lambda: sharded_aggregate(pk, ct_sh, mesh).c)
+
+# --- threshold combine seam (4 servers x batch) ---
+keys = generate_threshold_keys(64, 4, 3, rng)
+tpk = keys[0].public()
+dk = tpk.device()
+enc_t = Encryptor(tpk, LEVEL_ONE, rng=rng)
+ct_t = enc_t.encrypt([rng.randrange(tpk.n) for _ in range(64)])
+ids = [k.id for k in keys]
+rows, signs = [], []
+for k in keys:
+    lam2 = 2 * compute_lambda(tpk, k.id, ids)
+    signs.append(1 if lam2 >= 0 else -1)
+    rows.append(mont.mont_pow(dk.ctx_n2, partial_decrypt(k, ct_t).c,
+                              abs(lam2)))
+server_powed = jnp.stack(rows)
+import numpy as np
+from jax.sharding import Mesh
+from paillier_tpu.parallel.mesh import BATCH_AXIS, SERVER_AXIS
+srv = min(4, n_dev)
+mesh2 = Mesh(np.array(jax.devices()[:n_dev]).reshape(srv, n_dev // srv),
+             (SERVER_AXIS, BATCH_AXIS))
+t_comb = timeit(lambda: distributed_combine(tpk, server_powed, signs, mesh2))
+
+print(json.dumps({"n_devices": n_dev, "t_aggregate_s": t_agg,
+                  "t_combine_s": t_comb}))
