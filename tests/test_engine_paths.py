@@ -81,3 +81,22 @@ def test_rns_level2_roundtrip(force_rns, keypair_256, rng):
     n2 = pk.n * pk.n
     vals = [rng.randrange(n2) for _ in range(3)] + [0, n2 - 1]
     assert dec.decrypt(enc.encrypt(vals)) == vals
+
+
+@pytest.mark.slow
+def test_rns_level2_roundtrip_1024bit_192limbs(force_rns, rng):
+    """Production-width coverage (SURVEY hard part #1, VERDICT r1 #7):
+    a 1024-bit key at level 2 runs the RNS engine at n^3 width =
+    3072 bits = 192 limbs — the widest shape the framework uses per key
+    bit (2048-bit keys hit the same code at 384 limbs on hardware)."""
+    from paillier_tpu.core.decrypt import Decryptor
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keygen import keygen
+    from paillier_tpu.core.keys import LEVEL_TWO
+    sk, pk = keygen(1024, random.Random(0xB16))
+    assert pk.device().limbs_for_level(LEVEL_TWO) == 192
+    enc = Encryptor(pk, LEVEL_TWO, rng=rng, engine="rns")
+    dec = Decryptor(sk, LEVEL_TWO, engine="rns")
+    n2 = pk.n * pk.n
+    vals = [rng.randrange(n2) for _ in range(2)] + [0, n2 - 1]
+    assert dec.decrypt(enc.encrypt(vals)) == vals
