@@ -212,6 +212,10 @@ def bench_mesh_scaling():
             [sys.executable, os.path.join(here, "scripts",
                                           "scaling_probe.py"), str(n)],
             capture_output=True, text=True, env=env, timeout=1200)
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"scaling_probe.py (mesh={n}) failed rc={out.returncode}:\n"
+                f"{out.stderr[-2000:]}")
         line = out.stdout.strip().splitlines()[-1]
         rows.append(json.loads(line))
         print(f"# mesh={n}: {line}", file=sys.stderr)

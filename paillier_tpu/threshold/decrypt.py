@@ -37,6 +37,12 @@ def go_div(a: int, b: int) -> int:
     return q
 
 
+def L_int(u: int, n: int) -> int:
+    """Host L function L(u, n) = (u - 1) / n with Go Div semantics
+    (paillier.go:437-440; KAT L(21, 3) = 6, paillier_test.go:20-27)."""
+    return go_div(u - 1, n)
+
+
 @dataclass
 class PartialDecryptionBatch:
     """A batch of partial decryptions from one server."""
@@ -144,5 +150,4 @@ def combine_ints(tpk: ThresholdPublicKey,
         else:
             cprime = (cprime * host.modinv(
                 pow(s.decryption, -lam2, tpk.n2), tpk.n2)) % tpk.n2
-    lval = (cprime - 1) // tpk.n
-    return (tpk.combine_shares_constant * lval) % tpk.n
+    return (tpk.combine_shares_constant * L_int(cprime, tpk.n)) % tpk.n

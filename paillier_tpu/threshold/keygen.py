@@ -68,13 +68,7 @@ class ThresholdKeyGenerator:
         coeffs = [d] + [self.rng.randrange(nm) for _ in range(self.t - 1)]
 
         # share_i = f(i+1) mod nm (thresholdkey_generator.go:213-231)
-        shares = []
-        for i in range(self.l):
-            x = i + 1
-            acc = 0
-            for j, a in enumerate(coeffs):
-                acc += a * pow(x, j)
-            shares.append(acc % nm)
+        shares = [compute_share(coeffs, i, nm) for i in range(self.l)]
 
         delta = host.factorial(self.l)
         vi = self._verification_keys(v, shares, delta, n2)
@@ -104,6 +98,14 @@ class ThresholdKeyGenerator:
         base = jnp.asarray(host.int_to_limbs(v, L))
         out = mont.mont_pow_fixed_base(ctx, base, digits, window)
         return host.limbs_to_ints(np.asarray(out))
+
+
+def compute_share(coeffs: List[int], index: int, nm: int) -> int:
+    """Share of authority ``index`` (0-based): f(index+1) mod nm over the
+    hiding polynomial (reference: computeShare,
+    thresholdkey_generator.go:213-223 — authorities are indexed from 1)."""
+    x = index + 1
+    return sum(a * pow(x, j) for j, a in enumerate(coeffs)) % nm
 
 
 def generate_threshold_keys(bits: int, l: int, t: int, rng=None,

@@ -102,20 +102,38 @@ def _challenge_bits(c2_rep: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return digest[:, 7] & 1                      # digest mod 2
 
 
-def _shard_flat(mesh, fn, *arrays):
+def _shard_flat(mesh, dk, stage_name, window, fn, *arrays):
     """Run ``fn(*arrays)`` under shard_map with every array's leading
     (flattened proof-instance) axis sharded over the mesh batch axis.
-    All DDLEQ stages are elementwise over that axis — no collectives."""
+    All DDLEQ stages are elementwise over that axis — no collectives.
+
+    The jitted sharded stage is cached in ``dk.jit_cache`` keyed by
+    (stage name, shapes, window, mesh) so chunked workloads (config #5:
+    64k proofs in chunks) reuse one compilation per stage instead of
+    retracing every call (the same pattern as
+    parallel/collective.py's sharded_aggregate)."""
+    from ..parallel.collective import _mesh_key
     from ..parallel.mesh import BATCH_AXIS
     n_dev = int(np.prod(list(mesh.shape.values())))
     B0 = arrays[0].shape[0]
     if B0 % n_dev:
         raise ValueError(f"flat batch {B0} must divide the {n_dev}-device "
                          "mesh (pad the proof batch)")
-    spec_in = tuple(P(BATCH_AXIS, *([None] * (a.ndim - 1))) for a in arrays)
-    wrapped = shard_map(fn, mesh=mesh, in_specs=spec_in,
-                        out_specs=P(BATCH_AXIS), check_vma=False)
-    return jax.jit(wrapped)(*arrays)
+    # The sharded body runs engine kernels under jit: build the RNS
+    # engines eagerly first (DeviceKey.rns must never be constructed
+    # inside a trace; keys.py:140-150).
+    if dk.use_rns():
+        dk.rns(1)
+        dk.rns(2)
+    key = ("ddleq", stage_name, window,
+           tuple((a.shape, str(a.dtype)) for a in arrays), _mesh_key(mesh))
+    if key not in dk.jit_cache:
+        spec_in = tuple(P(BATCH_AXIS, *([None] * (a.ndim - 1)))
+                        for a in arrays)
+        wrapped = shard_map(fn, mesh=mesh, in_specs=spec_in,
+                            out_specs=P(BATCH_AXIS), check_vma=False)
+        dk.jit_cache[key] = jax.jit(wrapped)
+    return dk.jit_cache[key](*arrays)
 
 
 def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
@@ -181,8 +199,8 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     if mesh is None:
         xn, alpha, chal = commit_stage(X2, Y3, c1_rep, c2_rep)
     else:
-        xn, alpha, chal = _shard_flat(mesh, commit_stage,
-                                      X2, Y3, c1_rep, c2_rep)
+        xn, alpha, chal = _shard_flat(mesh, dk, "commit", window,
+                                      commit_stage, X2, Y3, c1_rep, c2_rep)
     sel = (chal != 0)[:, None]
 
     # e = chal ? x * a^{-1} mod n^2 : x (ddleq.go:94-99); a^{-1} is one
@@ -217,7 +235,7 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     if mesh is None:
         e, f = response_stage(sel, X2, Y3, AI, TI, S3_rep, xn)
     else:
-        e, f = _shard_flat(mesh, response_stage,
+        e, f = _shard_flat(mesh, dk, "response", window, response_stage,
                            sel, X2, Y3, AI, TI, S3_rep, xn)
 
     shape = lambda a: a.reshape(B, S, a.shape[-1])
@@ -262,7 +280,7 @@ def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
     if mesh is None:
         ok = check_stage(X, Y, alpha, E, F, c1_rep, c2_rep)
     else:
-        ok = _shard_flat(mesh, check_stage, X, Y, alpha, E, F,
-                         c1_rep, c2_rep)
+        ok = _shard_flat(mesh, dk, "check", window, check_stage,
+                         X, Y, alpha, E, F, c1_rep, c2_rep)
     ok = ok.reshape(B, S)
     return [bool(v) for v in np.asarray(jax.device_get(jnp.all(ok, axis=1)))]

@@ -43,6 +43,23 @@ class TestKeygen:
             keygen(32)
 
 
+def test_L_function_kat():
+    """L(21, 3) = (21-1)/3 = 6 (paillier_test.go:20-27; L at
+    paillier.go:437-440 uses truncated Div).  The device `_L_div` path is
+    exact Hensel division (decryption only ever divides exactly), so it
+    is checked on the exact case L(22, 3) = 7."""
+    import jax.numpy as jnp
+    from paillier_tpu.bigint import host
+    from paillier_tpu.core.decrypt import _L_div
+    from paillier_tpu.threshold.decrypt import L_int
+    assert L_int(21, 3) == 6
+    L = 4
+    hensel = jnp.asarray(host.int_to_limbs(host.hensel_inverse(3, L), L))
+    u_minus_1 = jnp.asarray(host.ints_to_limbs([22 - 1], L))
+    out = host.limbs_to_ints(np.asarray(_L_div(u_minus_1, hensel, L)))
+    assert out == [7]
+
+
 class TestRoundtrip:
     def test_level1(self, keypair_128, rng):
         sk, pk = keypair_128

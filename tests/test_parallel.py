@@ -84,6 +84,33 @@ class TestShardedDDLEQ:
         tampered = dataclasses.replace(p_shard, e=bad)
         assert verify(pk, ct1, ct2, tampered, mesh=mesh) == [True, False]
 
+    def test_sharded_prove_verify_forced_rns(self, keypair_128, monkeypatch):
+        """The sharded DDLEQ path with the RNS engine active (the
+        accelerator configuration): the engines must be built eagerly
+        before the shard_map trace (ADVICE r2) and results must match
+        the unsharded run bit-exactly."""
+        import dataclasses
+        from paillier_tpu.core.encrypt import nested_encrypt
+        from paillier_tpu.zk.ddleq import prove, verify
+        monkeypatch.setenv("PAILLIER_TPU_FORCE_RNS", "1")
+        sk0, _ = keypair_128
+        # fresh key objects so cached non-RNS jits don't leak in
+        sk = type(sk0)(**{f.name: getattr(sk0, f.name)
+                          for f in dataclasses.fields(sk0)})
+        pk = sk.public()
+        mesh = make_mesh()
+        rng = random.Random(56)
+        ms = [rng.randrange(pk.n) for _ in range(2)]
+        ct1 = nested_encrypt(pk, ms, rng)
+        ct2, a_l, b_l = hom.nested_randomize(pk, ct1, rng)
+        seed_a, seed_b = random.Random(10), random.Random(10)
+        p_single = prove(sk, ct1, ct2, a_l, b_l, 8, seed_a)
+        p_shard = prove(sk, ct1, ct2, a_l, b_l, 8, seed_b, mesh=mesh)
+        for field in ("x", "y", "alpha", "e", "f"):
+            assert bool(jnp.all(getattr(p_single, field)
+                                == getattr(p_shard, field))), field
+        assert verify(pk, ct1, ct2, p_shard, mesh=mesh) == [True, True]
+
 
 class TestDistributedThreshold:
     def test_server_axis_combine(self, rng):

@@ -96,6 +96,24 @@ class TestKats:
                   PartialDecryption(2, 235243761043)]
         assert combine_ints(tpk, shares) == 100
 
+    def test_compute_share(self):
+        # thresholdkey_generator_test.go:282-294: f(x) = 29 + 88x + 51x^2
+        # mod 103 evaluated for authority index 2 (i.e. x = 3) -> 31
+        from paillier_tpu.threshold.keygen import compute_share
+        assert compute_share([29, 88, 51], 2, 103) == 31
+
+    def test_create_verification_keys(self):
+        # thresholdkey_generator_test.go:314-324: l=10 (delta=10!), v=54,
+        # n^2=101^2, shares [12, 90, 103] -> [6162, 304, 2728]
+        from paillier_tpu.bigint.host import factorial
+        gen = ThresholdKeyGenerator(32, 10, 3, random.Random(0))
+        expect = [6162, 304, 2728]
+        for device in (True, False):
+            gen.device_verification_keys = device
+            got = gen._verification_keys(54, [12, 90, 103],
+                                         factorial(10), 101 * 101)
+            assert got == expect, (device, got)
+
     def test_exp_with_negative(self):
         # thresholdkey_test.go:32-46
         assert pow(720, 10, 49) == 43
