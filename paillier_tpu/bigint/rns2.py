@@ -50,10 +50,17 @@ from . import host
 
 CHUNK = 7                      # int8 chunk width (values < 2^7)
 MAX_CHANNEL_BITS = 14          # channel primes < 2^14
+# Channel prime cap for the fast-reduction ladder path: lazy residues live
+# in [0, m + RED_BIAS*m + 3*VMAX*2^-24) and must still chunk into two
+# nonneg int8 7-bit digits (< 2^14).  With VMAX = 1.7e9 (the widest red
+# input, see rns2_mont_mul_pair): 1.05 * 15200 + 304 = 16264 < 16384.
+MCAP = 15200
+RED_BIAS = 0.05
 
 # ic1 rows (base B1 constants, int32 [NI1, k])
 I1_M = 0       # B1 moduli
-I1_M2M = 1     # M2 mod m_i
+I1_M2M = 1     # m_i - (M2 mod m_i): the cox correction is ADDED (keeps
+               # the pre-reduction value nonneg so trunc-reds suffice)
 I1_ENTRY = 2   # (M^2 mod N) mod m_i  (to-Montgomery factor)
 I1_ONEM = 3    # (M mod N) mod m_i    (1 in Montgomery form)
 I1_ONE = 4     # 1
@@ -74,9 +81,9 @@ COX_EPS = 0.05   # > worst-case f32 sum error (k <= 512); true frac <= 1/8
 
 
 def _primes_descending(count: int) -> list[int]:
-    """``count`` largest primes below 2^14 (descending)."""
+    """``count`` largest primes below MCAP (descending)."""
     out = []
-    n = (1 << MAX_CHANNEL_BITS) - 1
+    n = MCAP - 1 if MCAP % 2 == 0 else MCAP
     while len(out) < count and n > (1 << 11):
         if host.is_probable_prime(n, 12):
             out.append(n)
@@ -176,7 +183,7 @@ class Rns2Spec:
             ic2[I2_K30, j] = m2dj_inv
             ic2[I2_K31, j] = ((1 << CHUNK) * m2dj_inv) % mj
         for i, mi in enumerate(b1):
-            ic1[I1_M2M, i] = M2 % mi
+            ic1[I1_M2M, i] = mi - (M2 % mi)     # ≡ -M2 (mod m_i), in (0, m_i)
             ic1[I1_ENTRY, i] = self.m2_mod_n % mi
             ic1[I1_ONEM, i] = self.onem_int % mi
             ic1[I1_ONE, i] = 1
@@ -262,6 +269,30 @@ def _red_lazy(v, m, inv_m):
     return v - q * m
 
 
+def _red_fast(v, m, inv_m):
+    """Biased truncating reduction into [0, (1 + ~0.1) * m) for v >= 0 —
+    the ladder hot path: no floor, no conditional fixes (6 VPU ops).
+
+    q = trunc(fl(v)*inv_m - RED_BIAS).  With e = v/m + delta,
+    |delta| <= 3*q*2^-24 + ulp(e)/2 <= 3*(VMAX/m)*2^-24 + 2^-7 (q < 2^18),
+    the bias makes q land in {q_true - 1, q_true} (never above: the
+    estimate minus bias stays below q_true + 1; never below q_true - 1:
+    bias + delta < 1).  When q = q_true - 1, which needs
+    frac(v/m) < RED_BIAS + delta, the remainder is
+    r = v - q*m < m + (RED_BIAS + delta)*m <= m + RED_BIAS*m + 3*VMAX*2^-24
+    — with channel primes capped at MCAP this stays < 2^14, so the
+    two-7-bit-chunk int8 digit split of :func:`_chunks` still holds.
+    For slightly negative estimates (v < RED_BIAS*m) trunc-toward-zero
+    gives q = 0 and r = v < m.  Digit inflation is harmless everywhere
+    in the ladder: the first extension is congruence-only (k1 folded),
+    and the cox alpha of the second extension counts inflated digits
+    exactly (sg = sigma + delta_j*m'_j raises the alpha sum by exactly
+    sum(delta_j), which the -alpha*M2 correction removes).
+    """
+    q = (v.astype(jnp.float32) * inv_m - RED_BIAS).astype(jnp.int32)
+    return v - q * m
+
+
 def _chunks(v):
     """int32 < 2^14 -> (lo7, hi7) int32 chunks."""
     return v & ((1 << CHUNK) - 1), v >> CHUNK
@@ -277,11 +308,14 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     """w = x*y*M^-1 mod N on residue pairs ((x1, x2), (y1, y2)).
 
     Halves are int32 [..., k] residues of values < lambda*N — canonical
-    [0, m) or, with ``lazy`` chains, congruence-class values in
-    (-m, 2m).  With ``lazy=True`` the outputs are lazy too (use inside
-    exponent ladders; finish with one lazy=False multiply so the final
-    residues are canonical).  Kernel-safe: offset-0 slices, concat,
-    dot_general, elementwise only.
+    [0, m) or, with ``lazy`` chains, nonneg near-canonical values in
+    [0, ~1.1m) from :func:`_red_fast`.  With ``lazy=True`` the outputs
+    are lazy too (use inside exponent ladders; finish with one
+    lazy=False multiply so the final residues are canonical).  Every
+    intermediate is nonneg (the cox correction is additive, I1_M2M
+    stores -M2 mod m_i), so the lazy path needs only truncating
+    reductions — no floor, no conditional fixes.  Kernel-safe: offset-0
+    slices, concat, dot_general, elementwise only.
     """
     x1, x2 = x
     y1, y2 = y
@@ -289,27 +323,31 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     m2 = ctx.ic2[I2_M]
     inv1 = ctx.f1[0]
     inv2 = ctx.f2[0]
-    out_red = _red_lazy if lazy else _red
+    digit_red = _red_fast if lazy else _red
+    out_red = _red_fast if lazy else _red
 
-    s1 = _red(x1 * y1, m1, inv1)                 # p mod m on B1 (exact:
-    s2 = _red_lazy(x2 * y2, m2, inv2)            # chunked); B2 stays lazy
+    # x*y < (1.1m)^2 < 2^28.2: nonneg, digits chunk-safe (< 2^14)
+    s1 = digit_red(x1 * y1, m1, inv1)            # p mod m on B1 digits
+    s2 = _red_fast(x2 * y2, m2, inv2) if lazy \
+        else _red_lazy(x2 * y2, m2, inv2)        # B2 stays class-only
     a0, a1 = _chunks(s1)
 
     # first extension (B1 -> B2); k1 and N*M^-1 folded into e1.
     # Plo, Phi <= 2k*127^2 < 2^24, so Plo + (Phi << 7) < 2^31 stays exact
-    # in int32 and a single deferred _red suffices (VPU diet: no
+    # in int32 and a single deferred red suffices (VPU diet: no
     # intermediate reduction of the hi-chunk dot).
     lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
     Plo = _dot_i8(lhs1, ctx.e1lo)
     Phi = _dot_i8(lhs1, ctx.e1hi)
-    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 2^31
+    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
 
-    # t1 = p_j * M^-1 mod m'_j: |s2| < 2^15, U0 < 2^14 -> |t1| < 2^29
+    # t1 = p_j * M^-1 mod m'_j: s2 < 2^15, U0 < 2^14 -> t1 < 2^29;
+    # v + t1 < 1.7e9 = VMAX (the widest red input anywhere)
     t1 = s2 * ctx.ic2[I2_U0]
     w2 = out_red(v + t1, m2, inv2)               # result residues on B2
 
-    # exact B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (|prod| < 2^29)
-    sg = _red(w2 * ctx.ic2[I2_K30], m2, inv2)
+    # B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (prod < 2^28.1)
+    sg = digit_red(w2 * ctx.ic2[I2_K30], m2, inv2)
 
     # second extension (B2 -> B1) + cox floating alpha
     s0, s1c = _chunks(sg)
@@ -318,10 +356,14 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     Vhi = _dot_i8(lhs2, ctx.e2hi)
     v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
 
+    # alpha counts whole multiples of M2 in sum(sg * M2/m'_j), inflated
+    # digits included (each +m'_j raises the sum by exactly 1); the
+    # correction is ADDED (I1_M2M = -M2 mod m_i > 0) so v1 + alpha*I1_M2M
+    # stays in [0, 1.4e9 + 2k*MCAP) < 2^31 and nonneg for _red_fast.
     alpha = jnp.floor(
         jnp.sum(sg.astype(jnp.float32) * inv2, axis=-1, keepdims=True)
         + COX_EPS).astype(jnp.int32)
-    w1 = out_red(v1 - alpha * ctx.ic1[I1_M2M], m1, inv1)
+    w1 = out_red(v1 + alpha * ctx.ic1[I1_M2M], m1, inv1)
     return w1, w2
 
 

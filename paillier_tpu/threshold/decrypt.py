@@ -96,11 +96,44 @@ def compute_lambda(tpk: ThresholdPublicKey, share_id: int,
     return lam
 
 
+def _tree_modmul(ctx, x: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth modular product over axis 0 of [S, ..., L]."""
+    while x.shape[0] > 1:
+        if x.shape[0] % 2:
+            pad_one = jnp.zeros_like(x[:1]).at[..., 0].set(1)
+            x = jnp.concatenate([x, pad_one], axis=0)
+        x = mont.modmul(ctx, x[0::2], x[1::2])
+    return x[0]
+
+
+def lagrange_powers(tpk: ThresholdPublicKey, stacked_c: jnp.ndarray,
+                    exps: Sequence[int], window: int = 4) -> jnp.ndarray:
+    """c_s^(exps[s]) mod n^2 for every server row of [S, B, 2L] in ONE
+    batched per-element ladder (the reference runs one modexp per share,
+    thresholdkey.go:119-124; r2 VERDICT #4 flagged the per-share
+    dispatch loop)."""
+    dk = tpk.device()
+    L = dk.L
+    S, B = stacked_c.shape[:2]
+    w = window if host.LIMB_BITS % window == 0 else 4
+    ebits = max(max(e.bit_length() for e in exps), 1)
+    ew = -(-ebits // host.LIMB_BITS)
+    e_digits = mont.limbs_to_digits(
+        encode_batch(list(exps), ew), w)              # [S, D]
+    dig = jnp.broadcast_to(e_digits[:, None, :],
+                           (S, B, e_digits.shape[-1]))
+    powed = dk.pow(1, stacked_c.reshape(S * B, 2 * L),
+                   dig.reshape(S * B, -1), w)
+    return powed.reshape(S, B, 2 * L)
+
+
 def combine(tpk: ThresholdPublicKey,
             shares: Sequence[PartialDecryptionBatch],
             window: int = 4) -> List[int]:
     """Merge partial decryptions into plaintexts
-    (thresholdkey.go:149-161), batched over ciphertexts."""
+    (thresholdkey.go:149-161), batched over ciphertexts AND shares: the
+    t Lagrange-weighted powers run as one stacked device ladder, then
+    masked log-depth products give the positive/negative parts."""
     verify_partial_decryptions(tpk, shares)
     dk = tpk.device()
     ctx = dk.ctx_n2
@@ -109,17 +142,21 @@ def combine(tpk: ThresholdPublicKey,
 
     batch_shape = shares[0].c.shape[:-1]
     one = jnp.zeros(batch_shape + (2 * L,), jnp.uint32).at[..., 0].set(1)
-    pos = one
-    neg = one
-    for s in shares:
-        lam2 = 2 * compute_lambda(tpk, s.id, ids)
-        if lam2 == 0:
-            continue
-        powed = dk.pow_int(1, s.c, abs(lam2), window)
-        if lam2 > 0:
-            pos = mont.modmul(ctx, pos, powed)
-        else:
-            neg = mont.modmul(ctx, neg, powed)
+    lam2s = [2 * compute_lambda(tpk, s.id, ids) for s in shares]
+    use = [(s, l2) for s, l2 in zip(shares, lam2s) if l2 != 0]
+    if use:
+        stacked = jnp.stack([s.c.reshape((-1, 2 * L)) for s, _ in use])
+        powed = lagrange_powers(tpk, stacked,
+                                [abs(l2) for _, l2 in use], window)
+        one_r = jnp.zeros_like(powed).at[..., 0].set(1)
+        sel = jnp.asarray(np.asarray(
+            [l2 > 0 for _, l2 in use]))[:, None, None]
+        pos = _tree_modmul(ctx, jnp.where(sel, powed, one_r))
+        neg = _tree_modmul(ctx, jnp.where(sel, one_r, powed))
+        pos = pos.reshape(batch_shape + (2 * L,))
+        neg = neg.reshape(batch_shape + (2 * L,))
+    else:
+        pos = neg = one
 
     # c' = pos * neg^{-1} mod n^2 — one batched inverse via host xgcd
     neg_vals = decode_batch(neg.reshape((-1, 2 * L)))
