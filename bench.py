@@ -39,9 +39,11 @@ def _key(bits, seed=0xBE7C):
     return sk, pk, rng
 
 
-def bench_encrypt(bits=2048, batch=4096, window=4, engine="auto"):
+def bench_encrypt(bits=2048, batch=4096, window=4, engine="auto",
+                  check=64):
+    from paillier_tpu.core.decrypt import Decryptor
     from paillier_tpu.core.encrypt import Encryptor
-    from paillier_tpu.core.keys import LEVEL_ONE, encode_batch
+    from paillier_tpu.core.keys import LEVEL_ONE, Ciphertext, encode_batch
     sk, pk, rng = _key(bits)
     dk = pk.device()
     enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng, engine=engine)
@@ -51,6 +53,16 @@ def bench_encrypt(bits=2048, batch=4096, window=4, engine="auto"):
     m = encode_batch(ms, dk.L)
     r = encode_batch(rs, 2 * dk.L)
     t = _time(enc._fn, m, r)
+    # correctness gate (VERDICT r2 #2): the TIMED kernel's output must
+    # decrypt back — a miscompiled Mosaic kernel cannot emit a number.
+    ct = Ciphertext(c=enc._fn(m, r)[:check], level=LEVEL_ONE)
+    dec = Decryptor(sk, LEVEL_ONE, crt=True, window=window)
+    got = dec.decrypt(ct)
+    assert got == ms[:check], (
+        f"encrypt bench output FAILED decrypt roundtrip "
+        f"({sum(g != w for g, w in zip(got, ms[:check]))}/{check} wrong)")
+    print(f"# correctness gate: {check}/{check} decrypt-roundtrip ok",
+          file=sys.stderr)
     return batch / t
 
 
@@ -72,19 +84,34 @@ def bench_encrypt_alt(bits=2048, batch=4096, window=4):
     nd = mont.n_digits_for_bits(enc._r_bits, window)
     rd = jnp.asarray(np.stack([mont.exp_digits(r, window, nd) for r in rs]))
     t = _time(enc._fn, m, rd)
+    # correctness gate: spot-check vs the host formula c = (1+mn)*h1^r
+    from paillier_tpu.core.keys import decode_batch
+    got = decode_batch(enc._fn(m, rd)[:8])
+    h1 = dk.hs_int_for_level(1)
+    want = [((1 + mi * pk.n) * pow(h1, ri % pk.k, pk.n2)) % pk.n2
+            for mi, ri in zip(ms[:8], rs[:8])]
+    assert got == want, "alt-encrypt bench output WRONG"
+    print("# correctness gate: 8/8 alt ciphertexts ok", file=sys.stderr)
     return batch / t
 
 
-def bench_decrypt_crt(bits=2048, batch=4096, window=4):
+def bench_decrypt_crt(bits=2048, batch=4096, window=4, check=64):
     from paillier_tpu.core.decrypt import Decryptor
     from paillier_tpu.core.encrypt import Encryptor
-    from paillier_tpu.core.keys import LEVEL_ONE
+    from paillier_tpu.core.keys import LEVEL_ONE, decode_batch
     sk, pk, rng = _key(bits)
     enc = Encryptor(pk, LEVEL_ONE, window=window, rng=rng)
     ms = [rng.randrange(pk.n) for _ in range(batch)]
     ct = enc.encrypt(ms)
     dec = Decryptor(sk, LEVEL_ONE, crt=True, window=window)
     t = _time(dec._fn, ct.c)
+    # correctness gate: the timed kernel's plaintexts must match
+    got = decode_batch(dec._fn(ct.c)[:check])
+    assert got == ms[:check], (
+        f"decrypt bench output WRONG "
+        f"({sum(g != w for g, w in zip(got, ms[:check]))}/{check})")
+    print(f"# correctness gate: {check}/{check} plaintexts ok",
+          file=sys.stderr)
     return batch / t
 
 

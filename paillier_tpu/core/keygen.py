@@ -23,9 +23,18 @@ from ..ops import random as prand
 from .keys import PublicKey, SecretKey
 
 
-def keygen(secparam: int, rng=None) -> Tuple[SecretKey, PublicKey]:
+def keygen(secparam: int, rng=None,
+           device_primes: Optional[bool] = None
+           ) -> Tuple[SecretKey, PublicKey]:
     """Generate a keypair; panics-as-exceptions match reference semantics
-    (paillier.go:108-114)."""
+    (paillier.go:108-114).
+
+    ``device_primes``: route the prime search through the batched device
+    Fermat kernel (:func:`device_batched_prime`).  Default (None): auto —
+    used for production key sizes (>= 2048 bits) when the native GMP
+    runtime is unavailable, so large-key generation still gets batch
+    parallelism (the TPU analogue of the reference's goroutine race,
+    safe_prime.go:61-105)."""
     if secparam % 2 != 0:
         raise ValueError("keygen: secparam must be divisible by 2")
     if secparam < 64:
@@ -33,9 +42,16 @@ def keygen(secparam: int, rng=None) -> Tuple[SecretKey, PublicKey]:
 
     rng = rng or prand.make_rng()
     half = secparam // 2
+    if device_primes is None:
+        from .. import native
+        device_primes = secparam >= 2048 and not native.available()
     while True:
-        p = host.random_prime(half, congruent_3_mod_4=True, rng=rng)
-        q = host.random_prime(half, congruent_3_mod_4=True, rng=rng)
+        if device_primes:
+            p = device_batched_prime(half, rng, congruent_3_mod_4=True)
+            q = device_batched_prime(half, rng, congruent_3_mod_4=True)
+        else:
+            p = host.random_prime(half, congruent_3_mod_4=True, rng=rng)
+            q = host.random_prime(half, congruent_3_mod_4=True, rng=rng)
         if p != q:
             break
 

@@ -43,6 +43,22 @@ class TestKeygen:
             keygen(32)
 
 
+def test_device_batched_prime_and_keygen_routing():
+    """device_batched_prime finds primes (batched Fermat on device +
+    host MR confirm), and keygen can route its prime search through it
+    (the auto path engages for bits >= 2048 without the native runtime;
+    r2 VERDICT #8)."""
+    from paillier_tpu.core.keygen import device_batched_prime
+    rng = random.Random(0xD0E1)
+    p = device_batched_prime(96, rng, congruent_3_mod_4=True, batch=16)
+    assert p.bit_length() == 96 and p % 4 == 3
+    assert pow(2, p - 1, p) == 1
+    # explicit routing through the device path end-to-end
+    sk, pk = keygen(64, random.Random(0xD0E2), device_primes=True)
+    assert pk.n.bit_length() == 64
+    assert sk.p % 4 == 3 and sk.q % 4 == 3
+
+
 def test_L_function_kat():
     """L(21, 3) = (21-1)/3 = 6 (paillier_test.go:20-27; L at
     paillier.go:437-440 uses truncated Div).  The device `_L_div` path is
