@@ -283,6 +283,10 @@ def main():
         elif a == "enc1024":
             v = bench_encrypt(1024)
             emit("1024-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
+        elif a == "enc4096":
+            # SURVEY §5 long-axis top width; wide-spec (k>=640) kernel path
+            v = bench_encrypt(4096, batch=1024)
+            emit("4096-bit Paillier encryptions/sec/chip", v, "enc/s", 100_000)
         elif a == "dec2048":
             v = bench_decrypt_crt(2048)
             emit("2048-bit CRT decryptions/sec/chip", v, "dec/s", 100_000)

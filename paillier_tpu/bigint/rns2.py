@@ -50,12 +50,14 @@ from . import host
 
 CHUNK = 7                      # int8 chunk width (values < 2^7)
 MAX_CHANNEL_BITS = 14          # channel primes < 2^14
-# Channel prime cap for the fast-reduction ladder path: lazy residues live
-# in [0, m + RED_BIAS*m + 3*VMAX*2^-24) and must still chunk into two
-# nonneg int8 7-bit digits (< 2^14).  With VMAX = 1.7e9 (the widest red
-# input, see rns2_mont_mul_pair): 1.05 * 15200 + 304 = 16264 < 16384.
+# Channel prime cap for the fast-reduction ladder path: lazy residues
+# live in [0, m + RED_BIAS_INT + ~320) and must still chunk into two
+# nonneg int8 7-bit digits (< 2^14): 15200 + 420 + 320 = 15940 < 16384,
+# hi chunk <= 124.  The bias is an *absolute* pre-subtraction because the
+# f32 quotient error in units of m is m-independent (~3.5*VMAX*2^-24
+# with VMAX = 1.7e9, the widest red input in rns2_mont_mul_pair).
 MCAP = 15200
-RED_BIAS = 0.05
+RED_BIAS_INT = 420
 
 # ic1 rows (base B1 constants, int32 [NI1, k])
 I1_M = 0       # B1 moduli
@@ -270,27 +272,34 @@ def _red_lazy(v, m, inv_m):
 
 
 def _red_fast(v, m, inv_m):
-    """Biased truncating reduction into [0, (1 + ~0.1) * m) for v >= 0 —
-    the ladder hot path: no floor, no conditional fixes (6 VPU ops).
+    """Biased truncating reduction into [0, m + ~740) for v >= 0 — the
+    ladder hot path: no floor, no conditional fixes (6 VPU ops).
 
-    q = trunc(fl(v)*inv_m - RED_BIAS).  With e = v/m + delta,
-    |delta| <= 3*q*2^-24 + ulp(e)/2 <= 3*(VMAX/m)*2^-24 + 2^-7 (q < 2^18),
-    the bias makes q land in {q_true - 1, q_true} (never above: the
-    estimate minus bias stays below q_true + 1; never below q_true - 1:
-    bias + delta < 1).  When q = q_true - 1, which needs
-    frac(v/m) < RED_BIAS + delta, the remainder is
-    r = v - q*m < m + (RED_BIAS + delta)*m <= m + RED_BIAS*m + 3*VMAX*2^-24
-    — with channel primes capped at MCAP this stays < 2^14, so the
-    two-7-bit-chunk int8 digit split of :func:`_chunks` still holds.
-    For slightly negative estimates (v < RED_BIAS*m) trunc-toward-zero
-    gives q = 0 and r = v < m.  Digit inflation is harmless everywhere
-    in the ladder: the first extension is congruence-only (k1 folded),
-    and the cox alpha of the second extension counts inflated digits
-    exactly (sg = sigma + delta_j*m'_j raises the alpha sum by exactly
-    sum(delta_j), which the -alpha*M2 correction removes).
+    q = trunc(fl(v - B)*inv_m) with the absolute bias B = RED_BIAS_INT.
+    The f32 estimate of (v - B)/m carries error delta with
+    delta*m <= ~3.5*VMAX*2^-24 < 320 (cast of v, inv_m rounding, product
+    rounding — each <= VMAX*2^-24 ~ 100, m-independent in absolute
+    units).  Since B > delta*m the estimate never exceeds v/m, so
+    q <= q_true; q = q_true - 1 only when frac(v/m)*m < B + delta*m,
+    giving r = v - q*m < m + B + 320.  With primes capped at MCAP the
+    digits stay < 2^14 - 444, so the two-7-bit-chunk int8 split of
+    :func:`_chunks` still holds (hi chunk <= 124).  For v < B the
+    product is in (-B/m, 0) and trunc-toward-zero gives q = 0, r = v.
+    Digit inflation is harmless everywhere in the ladder: the first
+    extension is congruence-only (k1 folded), and the cox alpha of the
+    second extension counts inflated digits exactly (sg = sigma +
+    delta_j*m'_j raises the alpha sum by exactly sum(delta_j), which
+    the alpha*(-M2 mod m_i) correction removes).
     """
-    q = (v.astype(jnp.float32) * inv_m - RED_BIAS).astype(jnp.int32)
+    q = ((v - RED_BIAS_INT).astype(jnp.float32) * inv_m).astype(jnp.int32)
     return v - q * m
+
+
+# Ladder-path reduction hooks: the fused kernels resolve these at trace
+# time, so perf ablations (scripts/perf_red_ab.py) can swap variants
+# per-process without editing the kernel body.
+_red_digit_lazy = _red_fast      # s1 / sg (chunked into int8 digits)
+_red_out_lazy = _red_fast        # s2 / w2 / w1 (residue outputs)
 
 
 def _chunks(v):
@@ -323,12 +332,12 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     m2 = ctx.ic2[I2_M]
     inv1 = ctx.f1[0]
     inv2 = ctx.f2[0]
-    digit_red = _red_fast if lazy else _red
-    out_red = _red_fast if lazy else _red
+    digit_red = _red_digit_lazy if lazy else _red
+    out_red = _red_out_lazy if lazy else _red
 
     # x*y < (1.1m)^2 < 2^28.2: nonneg, digits chunk-safe (< 2^14)
     s1 = digit_red(x1 * y1, m1, inv1)            # p mod m on B1 digits
-    s2 = _red_fast(x2 * y2, m2, inv2) if lazy \
+    s2 = _red_out_lazy(x2 * y2, m2, inv2) if lazy \
         else _red_lazy(x2 * y2, m2, inv2)        # B2 stays class-only
     a0, a1 = _chunks(s1)
 
@@ -336,9 +345,17 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     # Plo, Phi <= 2k*127^2 < 2^24, so Plo + (Phi << 7) < 2^31 stays exact
     # in int32 and a single deferred red suffices (VPU diet: no
     # intermediate reduction of the hi-chunk dot).
+    # For k >= 512 channels the shift-combine Plo + (Phi << 7) can
+    # overflow int32 in the worst case (2k * 127 * 127 * 129 > 2^31), so
+    # the hi dot is reduced to < 2^14 before the shift — one extra red
+    # only on wide specs (4096-bit keys / level-2 at 2048-bit).
+    wide = x1.shape[-1] >= 512
+
     lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
     Plo = _dot_i8(lhs1, ctx.e1lo)
     Phi = _dot_i8(lhs1, ctx.e1hi)
+    if wide:
+        Phi = digit_red(Phi, m2, inv2)
     v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
 
     # t1 = p_j * M^-1 mod m'_j: s2 < 2^15, U0 < 2^14 -> t1 < 2^29;
@@ -354,6 +371,8 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
     Vlo = _dot_i8(lhs2, ctx.e2lo)
     Vhi = _dot_i8(lhs2, ctx.e2hi)
+    if wide:
+        Vhi = digit_red(Vhi, m1, inv1)
     v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
 
     # alpha counts whole multiples of M2 in sum(sg * M2/m'_j), inflated

@@ -179,3 +179,20 @@ def test_sliding_schedule_and_jnp_parity(eng256):
             sched = jnp.asarray(sliding_window_schedule(e, w))
             out = rns2_pow_sliding_jnp(eng.ctx, eng.encode(xs), sched, w)
             assert eng.decode(out) == [pow(x, e, n) for x in xs], (e, w)
+
+
+@pytest.mark.slow
+def test_wide_spec_k512_overflow_guard():
+    """k >= 512 specs route the shift-combines through an extra
+    reduction (the int32 overflow guard in rns2_mont_mul_pair): parity
+    on a ~6500-bit modulus whose spec lands at k = 512."""
+    rng = random.Random(0x51DE)
+    n = rng.getrandbits(6500) | (1 << 6499) | 1
+    eng = Rns2Engine(n)
+    assert eng.spec.k >= 512, eng.spec.k
+    xs = [rng.randrange(n) for _ in range(2)]
+    rx = eng.encode(xs)
+    assert eng.decode(eng.mul(rx, rx)) == [(x * x) % n for x in xs]
+    e = 0x10001
+    out = eng.pow_shared(rx, e, window=4)
+    assert eng.decode(out) == [pow(x, e, n) for x in xs]
