@@ -17,6 +17,7 @@ Quick start::
 """
 
 from .bigint import host, montgomery, vpu
+from .config import Config, get_config, set_config
 from .core import homomorphic
 from .core.decrypt import Decryptor, decrypt_nested_layer, nested_decrypt
 from .core.encrypt import Encryptor, nested_encrypt

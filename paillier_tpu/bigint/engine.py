@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 
 def default_engine_kind() -> str:
-    return os.environ.get("PAILLIER_TPU_ENGINE", "rns2")
+    from ..config import engine_kind
+    return engine_kind()
 
 
 class _V1Engine:

@@ -443,8 +443,10 @@ def rns2_pow_jnp(ctx: Rns2Context, x, digits, window: int = 4):
 def rns2_pow(ctx: Rns2Context, x, digits, window: int = 4):
     """Dispatcher: fused Pallas kernel on TPU, jnp scan elsewhere."""
     if jax.default_backend() != "cpu":
+        from ..config import get_config
         from .pallas_rns2 import rns2_pow_pallas
-        return rns2_pow_pallas(ctx, x, digits, window)
+        return rns2_pow_pallas(ctx, x, digits, window,
+                               block=get_config().block)
     return rns2_pow_jnp(ctx, x, digits, window)
 
 
@@ -527,8 +529,10 @@ def rns2_pow_sliding_jnp(ctx: Rns2Context, x, sched, window: int = 6):
 def rns2_pow_sliding(ctx: Rns2Context, x, sched, window: int = 6):
     """Dispatcher: fused Pallas kernel on TPU, jnp scan elsewhere."""
     if jax.default_backend() != "cpu":
+        from ..config import get_config
         from .pallas_rns2 import rns2_pow_sliding_pallas
-        return rns2_pow_sliding_pallas(ctx, x, sched, window)
+        return rns2_pow_sliding_pallas(ctx, x, sched, window,
+                                       block=get_config().block)
     return rns2_pow_sliding_jnp(ctx, x, sched, window)
 
 
@@ -771,11 +775,14 @@ class Rns2Engine:
     def pow(self, x, digits, window: int = 4):
         return rns2_pow(self.ctx, x, digits, window)
 
-    def pow_shared(self, x, e: int, window: int = 6):
+    def pow_shared(self, x, e: int, window: int | None = None):
         """x^e for a host-known shared exponent via the sliding-window
         odd-power ladder — ~8% fewer Montgomery multiplies than the
         fixed window-4 ladder on 2048-bit exponents (the r^(n^s) /
-        c^lambda hot paths)."""
+        c^lambda hot paths).  Window defaults to Config.sliding_window."""
+        from ..config import get_config
+        if window is None:
+            window = get_config().sliding_window
         if e == 0:
             one = jnp.concatenate([self.ctx.ic1[I1_ONE],
                                    self.ctx.ic2[I2_ONE]])

@@ -239,10 +239,13 @@ class Decryptor:
     """Batched, jitted decryption for one secret key."""
 
     def __init__(self, sk: SecretKey, level: int = DEFAULT_LEVEL,
-                 crt: bool = False, window: int = 4, engine: str = "auto"):
+                 crt: bool = False, window: int | None = None,
+                 engine: str = "auto"):
+        from ..config import get_config
         self.sk = sk
         self.dk = sk.device()
         self.level = level
+        window = window if window is not None else get_config().window
         self.window = window
         self.crt = crt and level == LEVEL_ONE
         s = 1 if level == LEVEL_ONE else 2

@@ -136,12 +136,14 @@ class Encryptor:
     """
 
     def __init__(self, pk: PublicKey, level: int = DEFAULT_LEVEL,
-                 method: str = REGULAR, window: int = 4, rng=None,
+                 method: str = REGULAR, window: int | None = None, rng=None,
                  engine: str = "auto"):
+        from ..config import get_config
         self.pk = pk
         self.dk = pk.device()
         self.level = level
         self.method = method
+        window = window if window is not None else get_config().window
         self.window = window
         self.rng = rng or prand.make_rng()
         s = 1 if level == LEVEL_ONE else 2

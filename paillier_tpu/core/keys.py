@@ -152,13 +152,17 @@ class DeviceKey:
     def use_rns(self) -> bool:
         """RNS engine pays off for production keys on accelerators.
 
-        PAILLIER_TPU_FORCE_RNS=1 forces it on (the CPU jnp fallback runs
-        the same math) so tests can cover the accelerator code paths."""
-        import os
-
+        Resolution: config.force_rns() (the PAILLIER_TPU_FORCE_RNS=1 env
+        override or Config.force_rns) pins the answer; otherwise auto —
+        accelerator backend and key >= 1024 bits.  Forcing RNS on CPU
+        runs the same math through the jnp fallback, which is how tests
+        cover the accelerator code paths."""
         import jax
-        if os.environ.get("PAILLIER_TPU_FORCE_RNS") == "1":
-            return True
+
+        from ..config import force_rns
+        forced = force_rns()
+        if forced is not None:
+            return forced
         return jax.default_backend() != "cpu" and self.pk.bits >= 1024
 
     def pow(self, level: int, base, digits, window: int = 4):

@@ -87,7 +87,8 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if os.environ.get("PAILLIER_TPU_NO_NATIVE"):
+        from ..config import native_enabled
+        if not native_enabled():
             return None
         so = _build()
         if so is None:

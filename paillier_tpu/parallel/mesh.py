@@ -26,10 +26,17 @@ BATCH_AXIS = "batch"
 SERVER_AXIS = "servers"
 
 
-def make_mesh(n_devices: Optional[int] = None, *, servers: int = 1) -> Mesh:
-    """1D batch mesh, or 2D (servers, batch) mesh when ``servers`` > 1."""
+def make_mesh(n_devices: Optional[int] = None,
+              *, servers: Optional[int] = None) -> Mesh:
+    """1D batch mesh, or 2D (servers, batch) mesh when ``servers`` > 1.
+
+    Defaults resolve through the unified Config (mesh_devices /
+    mesh_servers), then to all visible devices on a 1D batch axis."""
+    from ..config import get_config
+    cfg = get_config()
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = n_devices or cfg.mesh_devices or len(devs)
+    servers = servers if servers is not None else (cfg.mesh_servers or 1)
     devs = devs[:n]
     if servers > 1:
         if n % servers:

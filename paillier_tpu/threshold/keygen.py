@@ -32,12 +32,15 @@ class ThresholdKeyGenerator:
     l: int                      # total number of decryption servers
     t: int                      # threshold
     rng: object = None
-    timeout: float = 120.0
+    timeout: Optional[float] = None   # None -> Config.keygen_timeout
     device_verification_keys: bool = True
 
     def __post_init__(self):
         # validation mirrors NewThresholdKeyGenerator
         # (thresholdkey_generator.go:62-86)
+        if self.timeout is None:
+            from ..config import get_config
+            self.timeout = get_config().keygen_timeout
         if self.bits % 2 == 1:
             raise ValueError("Public key bit length must be an even number")
         if self.bits < 18:
@@ -109,7 +112,7 @@ def compute_share(coeffs: List[int], index: int, nm: int) -> int:
 
 
 def generate_threshold_keys(bits: int, l: int, t: int, rng=None,
-                            timeout: float = 120.0
+                            timeout: Optional[float] = None
                             ) -> List[ThresholdSecretKey]:
     """Convenience wrapper (reference: GenerateKeys,
     thresholdkey_generator.go:47-55)."""
