@@ -8,11 +8,14 @@ is zero (the lax.scan formulation pays ~40-60us/modmul of carry
 traffic; see rns2.py module docstring).
 
 Compute mix per Montgomery multiply (k channels per base):
-  * VPU: one int32 channel product per base + ~30 cheap elementwise
-    passes (float-reciprocal reductions, 7-bit chunking, cox alpha).
-  * MXU: four ``i8 x i8 -> i32`` dots of shape [Bblk, 2k] x [2k, k] —
-    the Cox-Rower base extensions with all per-channel constants folded
-    in (~140 TMAC/s sustained on v5e, ~2x the XLA bf16 dot path).
+  * VPU: one int32 channel product per base + ~25 cheap elementwise
+    passes (biased truncating float-reciprocal reductions, 7-bit
+    chunking, cox alpha — see rns2._red_fast).
+  * MXU: two ``i8 x i8 -> i32`` dots of shape [Bblk, 2k] x [2k, off+k]
+    — one per Cox-Rower base extension, lo/hi chunk column blocks
+    merged side by side (128-lane aligned) so the lhs streams through
+    the MXU once; all per-channel constants folded in (~140 TMAC/s
+    sustained on v5e, ~2x the XLA bf16 dot path).
 
 Replaces gmp.Int.Exp on the hot paths (reference: paillier.go:213-216).
 """
@@ -28,22 +31,28 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .rns2 import (I1_ENTRY, I1_ONE, I1_ONEM, I2_ENTRY, I2_ONE, I2_ONEM,
                    Rns2Context, rns2_mont_mul_pair)
 
+# Sliding-kernel odd-power table dtype: int16 halves VMEM (bigger batch
+# blocks) at the cost of a widening cast per conditional multiply.
+# PAILLIER_TPU_TBL32=1 stores int32 instead (measured ablation knob).
+_TBL_DTYPE = (jnp.int32 if os.environ.get("PAILLIER_TPU_TBL32") == "1"
+              else jnp.int16)
 
-def _ctx_from_refs(ic1, ic2, f1, f2, e1lo, e1hi, e2lo, e2hi):
+
+def _ctx_from_refs(ic1, ic2, f1, f2, e1, e2):
     return Rns2Context(ic1=ic1[...], ic2=ic2[...], f1=f1[...], f2=f2[...],
-                       e1lo=e1lo[...], e1hi=e1hi[...],
-                       e2lo=e2lo[...], e2hi=e2hi[...])
+                       e1=e1[...], e2=e2[...])
 
 
 def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
-                   e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+                   e1_ref, e2_ref,
                    o1_ref, o2_ref, tbl1, tbl2, *,
                    window, n_digits, per_element):
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -149,8 +158,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
         grid=(B // blk,),
         in_specs=[dig_spec, xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1), full(ctx.e2)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -158,8 +166,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
                         pltpu.VMEM(((1 << window), blk, k), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+    )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -169,15 +176,15 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
-                    f2_ref, e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+                    f2_ref, e1_ref, e2_ref,
                     o1_ref, o2_ref, acc1, acc2, tbl1, tbl2, *,
                     window, n_steps):
     """One batch block runs the whole sliding-window ladder with the
-    odd-power table resident in VMEM as int16 (lazy residues fit: they
-    stay in (-m, 2m) with m < 2^14).  The accumulator lives in int32
-    scratch so the conditional multiply is a predicated ref update."""
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+    odd-power table resident in VMEM as int16 by default (lazy residues
+    fit: they stay in [0, ~m + 740) with m < 2^14).  The accumulator
+    lives in int32 scratch so the conditional multiply is a predicated
+    ref update."""
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -194,11 +201,11 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     xm = mmul((x1, x2), entry)
     xsq = mmul(xm, xm)
     cur = xm
-    tbl1[0], tbl2[0] = (cur[0].astype(jnp.int16), cur[1].astype(jnp.int16))
+    tbl1[0], tbl2[0] = (cur[0].astype(_TBL_DTYPE), cur[1].astype(_TBL_DTYPE))
     for v in range(1, 1 << (window - 1)):
         cur = mmul(cur, xsq)
-        tbl1[v] = cur[0].astype(jnp.int16)
-        tbl2[v] = cur[1].astype(jnp.int16)
+        tbl1[v] = cur[0].astype(_TBL_DTYPE)
+        tbl2[v] = cur[1].astype(_TBL_DTYPE)
 
     d0 = sched_ref[0, 0]
     acc1[...] = tbl1[d0].astype(jnp.int32)
@@ -246,7 +253,8 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
     T = 1 << (window - 1)
     if block is None:
         budget = VMEM_LIMIT - (12 << 20)
-        per_elem = (T + 16) * 2 * k * 4          # int16 table + live i32
+        tbl_b = 2 if _TBL_DTYPE == jnp.int16 else 4
+        per_elem = (T * tbl_b // 2 + 16) * 2 * k * 4   # table + live i32
         blk = max(8, min(budget // per_elem, B, 1024))
         while blk > 8 and (B % blk or blk % 8):
             blk -= 1
@@ -269,19 +277,17 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1), full(ctx.e2)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((blk, k), jnp.int32),
                         pltpu.VMEM((blk, k), jnp.int32),
-                        pltpu.VMEM((T, blk, k), jnp.int16),
-                        pltpu.VMEM((T, blk, k), jnp.int16)],
+                        pltpu.VMEM((T, blk, k), _TBL_DTYPE),
+                        pltpu.VMEM((T, blk, k), _TBL_DTYPE)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -291,14 +297,13 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
-                       f1_ref, f2_ref, e1lo_ref, e1hi_ref, e2lo_ref,
-                       e2hi_ref, o1_ref, o2_ref, acc1, acc2, *,
+                       f1_ref, f2_ref, e1_ref, e2_ref,
+                       o1_ref, o2_ref, acc1, acc2, *,
                        window, n_digits):
     """Grid (batch_block, digit_step): the comb table block for this digit
     is streamed into VMEM by the pipeline while the accumulator persists
     in scratch across the digit steps of one batch block."""
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
     j = pl.program_id(1)
     # column j of the digit block via an iota mask (Mosaic has no dynamic
     # lane slicing on values)
@@ -371,8 +376,7 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   tspec, tspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1), full(ctx.e2)],
         out_specs=(ospec, ospec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -380,6 +384,5 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                         pltpu.VMEM((blk, k), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+    )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
     return jnp.concatenate([o1, o2], axis=-1)
