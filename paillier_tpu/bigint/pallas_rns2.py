@@ -11,11 +11,10 @@ Compute mix per Montgomery multiply (k channels per base):
   * VPU: one int32 channel product per base + ~25 cheap elementwise
     passes (biased truncating float-reciprocal reductions, 7-bit
     chunking, cox alpha — see rns2._red_fast).
-  * MXU: two ``i8 x i8 -> i32`` dots of shape [Bblk, 2k] x [2k, off+k]
-    — one per Cox-Rower base extension, lo/hi chunk column blocks
-    merged side by side (128-lane aligned) so the lhs streams through
-    the MXU once; all per-channel constants folded in (~140 TMAC/s
-    sustained on v5e, ~2x the XLA bf16 dot path).
+  * MXU: four ``i8 x i8 -> i32`` dots of shape [Bblk, 2k] x [2k, k] —
+    the Cox-Rower base extensions with all per-channel constants folded
+    in (~140 TMAC/s sustained on v5e, ~2x the XLA bf16 dot path).
+    (A merged [2k, off+k] dot per extension measured 18% slower — r3.)
 
 Replaces gmp.Int.Exp on the hot paths (reference: paillier.go:213-216).
 """
@@ -42,17 +41,24 @@ from .rns2 import (I1_ENTRY, I1_ONE, I1_ONEM, I2_ENTRY, I2_ONE, I2_ONEM,
 _TBL_DTYPE = (jnp.int32 if os.environ.get("PAILLIER_TPU_TBL32") == "1"
               else jnp.int16)
 
+# PAILLIER_TPU_SPLIT2=1: process each ladder step as two independent
+# half-block chains so the scheduler can overlap one half's MXU dots
+# with the other half's VPU reductions (measured ablation knob).
+_SPLIT2 = os.environ.get("PAILLIER_TPU_SPLIT2") == "1"
 
-def _ctx_from_refs(ic1, ic2, f1, f2, e1, e2):
+
+def _ctx_from_refs(ic1, ic2, f1, f2, e1lo, e1hi, e2lo, e2hi):
     return Rns2Context(ic1=ic1[...], ic2=ic2[...], f1=f1[...], f2=f2[...],
-                       e1=e1[...], e2=e2[...])
+                       e1lo=e1lo[...], e1hi=e1hi[...],
+                       e2lo=e2lo[...], e2hi=e2hi[...])
 
 
 def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
-                   e1_ref, e2_ref,
+                   e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
                    o1_ref, o2_ref, tbl1, tbl2, *,
                    window, n_digits, per_element):
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -158,7 +164,8 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
         grid=(B // blk,),
         in_specs=[dig_spec, xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1), full(ctx.e2)],
+                  full(ctx.e1lo), full(ctx.e1hi),
+                  full(ctx.e2lo), full(ctx.e2hi)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -166,7 +173,8 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
                         pltpu.VMEM(((1 << window), blk, k), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
+    )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -176,7 +184,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
-                    f2_ref, e1_ref, e2_ref,
+                    f2_ref, e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
                     o1_ref, o2_ref, acc1, acc2, tbl1, tbl2, *,
                     window, n_steps):
     """One batch block runs the whole sliding-window ladder with the
@@ -184,7 +192,8 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     fit: they stay in [0, ~m + 740) with m < 2^14).  The accumulator
     lives in int32 scratch so the conditional multiply is a predicated
     ref update."""
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -211,18 +220,39 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     acc1[...] = tbl1[d0].astype(jnp.int32)
     acc2[...] = tbl2[d0].astype(jnp.int32)
 
+    h = x1.shape[0] // 2 if (_SPLIT2 and x1.shape[0] % 16 == 0) else None
+
     def step(i, carry):
-        w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
-        acc1[...], acc2[...] = w
         d = sched_ref[0, i]
+        if h is None:
+            w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
+            acc1[...], acc2[...] = w
+        else:
+            # two independent half-block chains per step: one half's VPU
+            # stages can hide behind the other half's MXU dots
+            wA = mmul((acc1[:h], acc2[:h]), (acc1[:h], acc2[:h]))
+            wB = mmul((acc1[h:], acc2[h:]), (acc1[h:], acc2[h:]))
+            acc1[:h], acc2[:h] = wA
+            acc1[h:], acc2[h:] = wB
 
         @pl.when(d >= 0)
         def _():
             idx = jnp.maximum(d, 0)
-            t = (tbl1[idx].astype(jnp.int32), tbl2[idx].astype(jnp.int32))
-            w2 = mmul((acc1[...], acc2[...]), t)
-            acc1[...] = w2[0]
-            acc2[...] = w2[1]
+            if h is None:
+                t = (tbl1[idx].astype(jnp.int32),
+                     tbl2[idx].astype(jnp.int32))
+                w2 = mmul((acc1[...], acc2[...]), t)
+                acc1[...] = w2[0]
+                acc2[...] = w2[1]
+            else:
+                tA = (tbl1[idx, :h].astype(jnp.int32),
+                      tbl2[idx, :h].astype(jnp.int32))
+                tB = (tbl1[idx, h:].astype(jnp.int32),
+                      tbl2[idx, h:].astype(jnp.int32))
+                w2A = mmul((acc1[:h], acc2[:h]), tA)
+                w2B = mmul((acc1[h:], acc2[h:]), tB)
+                acc1[:h], acc2[:h] = w2A
+                acc1[h:], acc2[h:] = w2B
 
         return carry
 
@@ -277,7 +307,8 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1), full(ctx.e2)],
+                  full(ctx.e1lo), full(ctx.e1hi),
+                  full(ctx.e2lo), full(ctx.e2hi)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -287,7 +318,8 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                         pltpu.VMEM((T, blk, k), _TBL_DTYPE)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
+    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -297,13 +329,14 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
-                       f1_ref, f2_ref, e1_ref, e2_ref,
-                       o1_ref, o2_ref, acc1, acc2, *,
+                       f1_ref, f2_ref, e1lo_ref, e1hi_ref, e2lo_ref,
+                       e2hi_ref, o1_ref, o2_ref, acc1, acc2, *,
                        window, n_digits):
     """Grid (batch_block, digit_step): the comb table block for this digit
     is streamed into VMEM by the pipeline while the accumulator persists
     in scratch across the digit steps of one batch block."""
-    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref, e1_ref, e2_ref)
+    ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
+                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
     j = pl.program_id(1)
     # column j of the digit block via an iota mask (Mosaic has no dynamic
     # lane slicing on values)
@@ -376,7 +409,8 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   tspec, tspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1), full(ctx.e2)],
+                  full(ctx.e1lo), full(ctx.e1hi),
+                  full(ctx.e2lo), full(ctx.e2hi)],
         out_specs=(ospec, ospec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -384,5 +418,6 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                         pltpu.VMEM((blk, k), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2, ctx.e1, ctx.e2)
+    )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
     return jnp.concatenate([o1, o2], axis=-1)

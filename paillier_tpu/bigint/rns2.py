@@ -18,10 +18,10 @@ paths).  Design deltas, all driven by measured v5e behavior:
 * **Per-base array layout**: residues live as a pair of [batch, k]
   arrays (base B1 / base B2) so every slice and broadcast is
   lane-offset-0 — Mosaic rejects broadcasts of tiles at non-128-aligned
-  lane offsets.  Each base extension is ONE ``[B, 2k] x [2k, off+k]``
-  dot: the lo- and hi-chunk target matrices sit side by side with the
-  hi block at the next 128-lane boundary, so both output slices are
-  vreg-aligned and the lhs digit chunks stream through the MXU once.
+  lane offsets.  Each base extension is two ``[B, 2k] x [2k, k]`` dots
+  (lo-chunk / hi-chunk target matrices; a single merged [2k, off+k]
+  dot with an aligned zero gap measured 18% SLOWER on v5e — r3
+  ablation — so the split form is deliberate).
 * **One fused Pallas kernel per modexp** (pallas_rns2.py): the residue
   carry, the window table and the extension matrices live in VMEM for
   the whole exponent ladder; HBM traffic collapses to kernel I/O.  The
@@ -99,30 +99,17 @@ def _primes_descending(count: int) -> list[int]:
     return out
 
 
-def _hi_offset(k: int) -> int:
-    """Column offset of the hi-chunk block in the merged extension
-    matrices: the next 128-lane boundary at or after k, so both the lo
-    slice [.., :k] and the hi slice [.., off:off+k] are vreg-aligned."""
-    return ((k + 127) // 128) * 128
-
-
 class Rns2Context(NamedTuple):
-    """Device constants (pytree) for one modulus N.
-
-    The two base-extension matrices pack their lo- and hi-chunk column
-    blocks side by side ([2k, off + k] with the hi block at a 128-lane
-    aligned offset) so each extension is ONE int8 dot — the lhs digit
-    chunks stream through the MXU once, and the padded-zero gap costs
-    nothing extra because the odd output width (e.g. 320 lanes) was
-    already padding to the same tile count as two separate dots.
-    """
+    """Device constants (pytree) for one modulus N."""
 
     ic1: jax.Array     # int32 [NI1, k]
     ic2: jax.Array     # int32 [NI2, k]
     f1: jax.Array      # f32 [1, k]: 1/m_i
     f2: jax.Array      # f32 [1, k]: 1/m'_j
-    e1: jax.Array      # int8 [2k, off+k]: ext1 lo|hi columns (targets B2)
-    e2: jax.Array      # int8 [2k, off+k]: ext2 lo|hi columns (targets B1)
+    e1lo: jax.Array    # int8 [2k, k]: ext1 lo-chunk columns (targets B2)
+    e1hi: jax.Array    # int8 [2k, k]
+    e2lo: jax.Array    # int8 [2k, k]: ext2 lo-chunk columns (targets B1)
+    e2hi: jax.Array    # int8 [2k, k]
 
     @property
     def k(self) -> int:
@@ -211,15 +198,10 @@ class Rns2Spec:
             ic2[I2_ONEM, j] = self.onem_int % mj
             ic2[I2_ONE, j] = 1
 
-        off = _hi_offset(k)
-
         def lohi(T: np.ndarray):
-            """Merge the 7-bit lo/hi chunk column blocks into one int8
-            matrix [2k, off+k] with the hi block 128-lane aligned."""
-            out = np.zeros((T.shape[0], off + k), dtype=np.int8)
-            out[:, :k] = (T & ((1 << CHUNK) - 1)).astype(np.int8)
-            out[:, off:off + k] = (T >> CHUNK).astype(np.int8)
-            return out
+            lo = (T & ((1 << CHUNK) - 1)).astype(np.int8)
+            hi = (T >> CHUNK).astype(np.int8)
+            return lo, hi
 
         # ext1 rows (c, i in B1) -> cols j in B2:
         #   A[(c,i), j] = (w_ci * (M/m_i) * N * M^-1) mod m'_j,
@@ -234,7 +216,7 @@ class Rns2Spec:
                 base = (Mdi % mj) * (N % mj) % mj * pow(M, -1, mj) % mj
                 T1[i, j] = (w0 * base) % mj
                 T1[k + i, j] = (w1 * base) % mj
-        e1 = lohi(T1)
+        e1lo, e1hi = lohi(T1)
 
         # ext2 rows (c, j in B2) -> cols i in B1: (2^(7c) * (M2/m'_j)) mod m_i
         T2 = np.zeros((2 * k, k), dtype=np.int64)
@@ -243,7 +225,7 @@ class Rns2Spec:
             for i, mi in enumerate(b1):
                 T2[j, i] = M2dj % mi
                 T2[k + j, i] = ((1 << CHUNK) * M2dj) % mi
-        e2 = lohi(T2)
+        e2lo, e2hi = lohi(T2)
 
         return Rns2Context(
             ic1=jnp.asarray(ic1.astype(np.int32)),
@@ -252,7 +234,8 @@ class Rns2Spec:
                            .astype(np.float32)[None]),
             f2=jnp.asarray((1.0 / m2.astype(np.float64))
                            .astype(np.float32)[None]),
-            e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            e1lo=jnp.asarray(e1lo), e1hi=jnp.asarray(e1hi),
+            e2lo=jnp.asarray(e2lo), e2hi=jnp.asarray(e2hi),
         )
 
 
@@ -371,14 +354,11 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     # the hi block is reduced to < 2^14 before the shift — one extra red
     # only on wide specs (4096-bit keys / level-2 at 2048-bit).
     k = x1.shape[-1]
-    off = _hi_offset(k)
     wide = k >= 512
 
-    # ONE dot per extension: [lo | hi] column blocks share the lhs pass
     lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
-    P = _dot_i8(lhs1, ctx.e1)
-    Plo = P[..., :k]
-    Phi = P[..., off:off + k]
+    Plo = _dot_i8(lhs1, ctx.e1lo)
+    Phi = _dot_i8(lhs1, ctx.e1hi)
     if wide:
         Phi = digit_red(Phi, m2, inv2)
     v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
@@ -394,9 +374,8 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     # second extension (B2 -> B1) + cox floating alpha
     s0, s1c = _chunks(sg)
     lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
-    V = _dot_i8(lhs2, ctx.e2)
-    Vlo = V[..., :k]
-    Vhi = V[..., off:off + k]
+    Vlo = _dot_i8(lhs2, ctx.e2lo)
+    Vhi = _dot_i8(lhs2, ctx.e2hi)
     if wide:
         Vhi = digit_red(Vhi, m1, inv1)
     v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
