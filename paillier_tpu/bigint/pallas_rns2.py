@@ -44,7 +44,10 @@ _TBL_DTYPE = (jnp.int32 if os.environ.get("PAILLIER_TPU_TBL32") == "1"
 # PAILLIER_TPU_SPLIT2=1: process each ladder step as two independent
 # half-block chains so the scheduler can overlap one half's MXU dots
 # with the other half's VPU reductions (measured ablation knob).
+# PAILLIER_TPU_PIPE2=1: same two-half split but with the multiply
+# stages explicitly interleaved (rns2_mont_mul_pair2).
 _SPLIT2 = os.environ.get("PAILLIER_TPU_SPLIT2") == "1"
+_PIPE2 = os.environ.get("PAILLIER_TPU_PIPE2") == "1"
 
 
 def _ctx_from_refs(ic1, ic2, f1, f2, e1lo, e1hi, e2lo, e2hi):
@@ -220,7 +223,20 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     acc1[...] = tbl1[d0].astype(jnp.int32)
     acc2[...] = tbl2[d0].astype(jnp.int32)
 
-    h = x1.shape[0] // 2 if (_SPLIT2 and x1.shape[0] % 16 == 0) else None
+    h = (x1.shape[0] // 2
+         if ((_SPLIT2 or _PIPE2) and x1.shape[0] % 16 == 0) else None)
+
+    def mmul2(A, B):
+        if _PIPE2:
+            from .rns2 import rns2_mont_mul_pair2
+            return rns2_mont_mul_pair2(ctx, A, A, B, B, lazy=True)
+        return mmul(A, A), mmul(B, B)
+
+    def mmul2t(A, tA, B, tB):
+        if _PIPE2:
+            from .rns2 import rns2_mont_mul_pair2
+            return rns2_mont_mul_pair2(ctx, A, tA, B, tB, lazy=True)
+        return mmul(A, tA), mmul(B, tB)
 
     def step(i, carry):
         d = sched_ref[0, i]
@@ -230,8 +246,7 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
         else:
             # two independent half-block chains per step: one half's VPU
             # stages can hide behind the other half's MXU dots
-            wA = mmul((acc1[:h], acc2[:h]), (acc1[:h], acc2[:h]))
-            wB = mmul((acc1[h:], acc2[h:]), (acc1[h:], acc2[h:]))
+            wA, wB = mmul2((acc1[:h], acc2[:h]), (acc1[h:], acc2[h:]))
             acc1[:h], acc2[:h] = wA
             acc1[h:], acc2[h:] = wB
 
@@ -249,8 +264,8 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
                       tbl2[idx, :h].astype(jnp.int32))
                 tB = (tbl1[idx, h:].astype(jnp.int32),
                       tbl2[idx, h:].astype(jnp.int32))
-                w2A = mmul((acc1[:h], acc2[:h]), tA)
-                w2B = mmul((acc1[h:], acc2[h:]), tB)
+                w2A, w2B = mmul2t((acc1[:h], acc2[:h]), tA,
+                                  (acc1[h:], acc2[h:]), tB)
                 acc1[:h], acc2[:h] = w2A
                 acc1[h:], acc2[h:] = w2B
 

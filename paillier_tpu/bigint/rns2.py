@@ -317,6 +317,75 @@ def _dot_i8(lhs_i8, rhs_i8):
                            preferred_element_type=jnp.int32)
 
 
+def _mm_lhs1(ctx: Rns2Context, x, y, lazy: bool):
+    """VPU stage 1: channel products, digit/lazy reds, ext1 lhs pack."""
+    x1, x2 = x
+    y1, y2 = y
+    digit_red = _red_digit_lazy if lazy else _red
+    # x*y < (1.1m)^2 < 2^28.2: nonneg, digits chunk-safe (< 2^14)
+    s1 = digit_red(x1 * y1, ctx.ic1[I1_M], ctx.f1[0])
+    s2 = _red_out_lazy(x2 * y2, ctx.ic2[I2_M], ctx.f2[0]) if lazy \
+        else _red_lazy(x2 * y2, ctx.ic2[I2_M], ctx.f2[0])
+    a0, a1 = _chunks(s1)
+    lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
+    return lhs1, s2
+
+
+def _mm_ext1(ctx: Rns2Context, lhs1):
+    """MXU stage 1: first base extension (B1 -> B2), two int8 dots.
+    (A single merged [2k, off+k] dot measured 18% slower on v5e — r3.)"""
+    return _dot_i8(lhs1, ctx.e1lo), _dot_i8(lhs1, ctx.e1hi)
+
+
+def _mm_lhs2(ctx: Rns2Context, P, s2, lazy: bool):
+    """VPU stage 2: combine ext1, B2 result + exact sigma digits, ext2
+    lhs pack.  Returns (lhs2, sg, w2)."""
+    Plo, Phi = P
+    m2 = ctx.ic2[I2_M]
+    inv2 = ctx.f2[0]
+    digit_red = _red_digit_lazy if lazy else _red
+    out_red = _red_out_lazy if lazy else _red
+    # Plo + (Phi << 7): for k >= 512 the worst case exceeds int32
+    # (2k*127*127*129 > 2^31) — reduce the hi dot first on wide specs
+    # (4096-bit keys / level-2 at 2048-bit); narrow specs skip the red.
+    if P[0].shape[-1] >= 512:
+        Phi = digit_red(Phi, m2, inv2)
+    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
+    # t1 = p_j * M^-1 mod m'_j: s2 < 2^15, U0 < 2^14 -> t1 < 2^29;
+    # v + t1 < 1.7e9 = VMAX (the widest red input anywhere)
+    w2 = out_red(v + s2 * ctx.ic2[I2_U0], m2, inv2)
+    # B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (prod < 2^28.1)
+    sg = digit_red(w2 * ctx.ic2[I2_K30], m2, inv2)
+    s0, s1c = _chunks(sg)
+    lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
+    return lhs2, sg, w2
+
+
+def _mm_ext2(ctx: Rns2Context, lhs2):
+    """MXU stage 2: second base extension (B2 -> B1)."""
+    return _dot_i8(lhs2, ctx.e2lo), _dot_i8(lhs2, ctx.e2hi)
+
+
+def _mm_finish(ctx: Rns2Context, V, sg, lazy: bool):
+    """VPU stage 3: combine ext2 + cox floating alpha -> B1 result."""
+    Vlo, Vhi = V
+    m1 = ctx.ic1[I1_M]
+    inv1 = ctx.f1[0]
+    digit_red = _red_digit_lazy if lazy else _red
+    out_red = _red_out_lazy if lazy else _red
+    if V[0].shape[-1] >= 512:
+        Vhi = digit_red(Vhi, m1, inv1)
+    v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
+    # alpha counts whole multiples of M2 in sum(sg * M2/m'_j), inflated
+    # digits included (each +m'_j raises the sum by exactly 1); the
+    # correction is ADDED (I1_M2M = -M2 mod m_i > 0) so v1 + alpha*I1_M2M
+    # stays in [0, 1.4e9 + 2k*MCAP) < 2^31 and nonneg for _red_fast.
+    alpha = jnp.floor(
+        jnp.sum(sg.astype(jnp.float32) * ctx.f2[0], axis=-1, keepdims=True)
+        + COX_EPS).astype(jnp.int32)
+    return out_red(v1 + alpha * ctx.ic1[I1_M2M], m1, inv1)
+
+
 def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     """w = x*y*M^-1 mod N on residue pairs ((x1, x2), (y1, y2)).
 
@@ -330,65 +399,33 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     reductions — no floor, no conditional fixes.  Kernel-safe: offset-0
     slices, concat, dot_general, elementwise only.
     """
-    x1, x2 = x
-    y1, y2 = y
-    m1 = ctx.ic1[I1_M]
-    m2 = ctx.ic2[I2_M]
-    inv1 = ctx.f1[0]
-    inv2 = ctx.f2[0]
-    digit_red = _red_digit_lazy if lazy else _red
-    out_red = _red_out_lazy if lazy else _red
-
-    # x*y < (1.1m)^2 < 2^28.2: nonneg, digits chunk-safe (< 2^14)
-    s1 = digit_red(x1 * y1, m1, inv1)            # p mod m on B1 digits
-    s2 = _red_out_lazy(x2 * y2, m2, inv2) if lazy \
-        else _red_lazy(x2 * y2, m2, inv2)        # B2 stays class-only
-    a0, a1 = _chunks(s1)
-
-    # first extension (B1 -> B2); k1 and N*M^-1 folded into e1.
-    # Plo, Phi <= 2k*127^2 < 2^24, so Plo + (Phi << 7) < 2^31 stays exact
-    # in int32 and a single deferred red suffices (VPU diet: no
-    # intermediate reduction of the hi-chunk dot).
-    # For k >= 512 channels the shift-combine Plo + (Phi << 7) can
-    # overflow int32 in the worst case (2k * 127 * 127 * 129 > 2^31), so
-    # the hi block is reduced to < 2^14 before the shift — one extra red
-    # only on wide specs (4096-bit keys / level-2 at 2048-bit).
-    k = x1.shape[-1]
-    wide = k >= 512
-
-    lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
-    Plo = _dot_i8(lhs1, ctx.e1lo)
-    Phi = _dot_i8(lhs1, ctx.e1hi)
-    if wide:
-        Phi = digit_red(Phi, m2, inv2)
-    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
-
-    # t1 = p_j * M^-1 mod m'_j: s2 < 2^15, U0 < 2^14 -> t1 < 2^29;
-    # v + t1 < 1.7e9 = VMAX (the widest red input anywhere)
-    t1 = s2 * ctx.ic2[I2_U0]
-    w2 = out_red(v + t1, m2, inv2)               # result residues on B2
-
-    # B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (prod < 2^28.1)
-    sg = digit_red(w2 * ctx.ic2[I2_K30], m2, inv2)
-
-    # second extension (B2 -> B1) + cox floating alpha
-    s0, s1c = _chunks(sg)
-    lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
-    Vlo = _dot_i8(lhs2, ctx.e2lo)
-    Vhi = _dot_i8(lhs2, ctx.e2hi)
-    if wide:
-        Vhi = digit_red(Vhi, m1, inv1)
-    v1 = Vlo + (Vhi << CHUNK)                    # == sum sg*(M2/m') mod m_i
-
-    # alpha counts whole multiples of M2 in sum(sg * M2/m'_j), inflated
-    # digits included (each +m'_j raises the sum by exactly 1); the
-    # correction is ADDED (I1_M2M = -M2 mod m_i > 0) so v1 + alpha*I1_M2M
-    # stays in [0, 1.4e9 + 2k*MCAP) < 2^31 and nonneg for _red_fast.
-    alpha = jnp.floor(
-        jnp.sum(sg.astype(jnp.float32) * inv2, axis=-1, keepdims=True)
-        + COX_EPS).astype(jnp.int32)
-    w1 = out_red(v1 + alpha * ctx.ic1[I1_M2M], m1, inv1)
+    lhs1, s2 = _mm_lhs1(ctx, x, y, lazy)
+    P = _mm_ext1(ctx, lhs1)
+    lhs2, sg, w2 = _mm_lhs2(ctx, P, s2, lazy)
+    V = _mm_ext2(ctx, lhs2)
+    w1 = _mm_finish(ctx, V, sg, lazy)
     return w1, w2
+
+
+def rns2_mont_mul_pair2(ctx: Rns2Context, xa, ya, xb, yb,
+                        lazy: bool = True):
+    """TWO independent Montgomery multiplies with their stages
+    software-pipelined: each MXU extension of one multiply is adjacent
+    in program order to the other multiply's VPU stages, giving the
+    Mosaic scheduler explicit independent work to overlap the units
+    (the single-chain ladder runs MXU and VPU nearly serially).
+    Bit-identical to two rns2_mont_mul_pair calls."""
+    lhs1a, s2a = _mm_lhs1(ctx, xa, ya, lazy)
+    Pa = _mm_ext1(ctx, lhs1a)                        # MXU A1
+    lhs1b, s2b = _mm_lhs1(ctx, xb, yb, lazy)         # VPU B  (|| MXU A1)
+    Pb = _mm_ext1(ctx, lhs1b)                        # MXU B1
+    lhs2a, sga, w2a = _mm_lhs2(ctx, Pa, s2a, lazy)   # VPU A  (|| MXU B1)
+    Va = _mm_ext2(ctx, lhs2a)                        # MXU A2
+    lhs2b, sgb, w2b = _mm_lhs2(ctx, Pb, s2b, lazy)   # VPU B  (|| MXU A2)
+    Vb = _mm_ext2(ctx, lhs2b)                        # MXU B2
+    w1a = _mm_finish(ctx, Va, sga, lazy)             # VPU A  (|| MXU B2)
+    w1b = _mm_finish(ctx, Vb, sgb, lazy)
+    return (w1a, w2a), (w1b, w2b)
 
 
 def _split(ctx: Rns2Context, x):

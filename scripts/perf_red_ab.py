@@ -51,6 +51,14 @@ elif variant == "mixed":
     # fast digits, floor-free outs but exact digit reds
     rns2._red_digit_lazy = red_old
     rns2._red_out_lazy = rns2._red_fast
+elif variant == "fma":
+    # bias folded into the f32 multiply-subtract (fma idiom)
+    def red_fma(v, m, inv_m):
+        q = (v.astype(jnp.float32) * inv_m
+             - rns2.RED_BIAS_INT * inv_m).astype(jnp.int32)
+        return v - q * m
+    rns2._red_digit_lazy = red_fma
+    rns2._red_out_lazy = red_fma
 elif variant == "fast":
     pass
 else:
