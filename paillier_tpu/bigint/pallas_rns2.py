@@ -11,10 +11,11 @@ Compute mix per Montgomery multiply (k channels per base):
   * VPU: one int32 channel product per base + ~25 cheap elementwise
     passes (biased truncating float-reciprocal reductions, 7-bit
     chunking, cox alpha — see rns2._red_fast).
-  * MXU: four ``i8 x i8 -> i32`` dots of shape [Bblk, 2k] x [2k, k] —
-    the Cox-Rower base extensions with all per-channel constants folded
-    in (~140 TMAC/s sustained on v5e, ~2x the XLA bf16 dot path).
-    (A merged [2k, off+k] dot per extension measured 18% slower — r3.)
+  * MXU: two merged ``i8 x i8 -> i32`` dots of shape
+    [Bblk, 2k] x [2k, 2*pk] — the Cox-Rower base extensions with all
+    per-channel constants folded in and the lo/hi chunk column groups
+    side by side at 128-aligned offsets (25% faster than four
+    [2k, k] dots on v5e: fewer MXU weight swaps; perf_dotvar.py).
 
 Replaces gmp.Int.Exp on the hot paths (reference: paillier.go:213-216).
 """
@@ -50,18 +51,17 @@ _SPLIT2 = os.environ.get("PAILLIER_TPU_SPLIT2") == "1"
 _PIPE2 = os.environ.get("PAILLIER_TPU_PIPE2") == "1"
 
 
-def _ctx_from_refs(ic1, ic2, f1, f2, e1lo, e1hi, e2lo, e2hi):
+def _ctx_from_refs(ic1, ic2, f1, f2, e1g, e2g):
     return Rns2Context(ic1=ic1[...], ic2=ic2[...], f1=f1[...], f2=f2[...],
-                       e1lo=e1lo[...], e1hi=e1hi[...],
-                       e2lo=e2lo[...], e2hi=e2hi[...])
+                       e1g=e1g[...], e2g=e2g[...])
 
 
 def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
-                   e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+                   e1g_ref, e2g_ref,
                    o1_ref, o2_ref, tbl1, tbl2, *,
                    window, n_digits, per_element):
     ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+                         e1g_ref, e2g_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -167,8 +167,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
         grid=(B // blk,),
         in_specs=[dig_spec, xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1g), full(ctx.e2g)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -177,7 +176,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dig_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+      ctx.e1g, ctx.e2g)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -187,7 +186,7 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
-                    f2_ref, e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+                    f2_ref, e1g_ref, e2g_ref,
                     o1_ref, o2_ref, acc1, acc2, tbl1, tbl2, *,
                     window, n_steps):
     """One batch block runs the whole sliding-window ladder with the
@@ -196,7 +195,7 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     lives in int32 scratch so the conditional multiply is a predicated
     ref update."""
     ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+                         e1g_ref, e2g_ref)
     x1 = x1_ref[...]
     x2 = x2_ref[...]
 
@@ -322,8 +321,7 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                                memory_space=pltpu.SMEM),
                   xspec, xspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1g), full(ctx.e2g)],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -334,7 +332,7 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+      ctx.e1g, ctx.e2g)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out
 
@@ -344,14 +342,14 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _fixed_base_kernel(dig_ref, t1_ref, t2_ref, ic1_ref, ic2_ref,
-                       f1_ref, f2_ref, e1lo_ref, e1hi_ref, e2lo_ref,
-                       e2hi_ref, o1_ref, o2_ref, acc1, acc2, *,
+                       f1_ref, f2_ref, e1g_ref, e2g_ref,
+                       o1_ref, o2_ref, acc1, acc2, *,
                        window, n_digits):
     """Grid (batch_block, digit_step): the comb table block for this digit
     is streamed into VMEM by the pipeline while the accumulator persists
     in scratch across the digit steps of one batch block."""
     ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
-                         e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref)
+                         e1g_ref, e2g_ref)
     j = pl.program_id(1)
     # column j of the digit block via an iota mask (Mosaic has no dynamic
     # lane slicing on values)
@@ -424,8 +422,7 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   tspec, tspec,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
-                  full(ctx.e1lo), full(ctx.e1hi),
-                  full(ctx.e2lo), full(ctx.e2hi)],
+                  full(ctx.e1g), full(ctx.e2g)],
         out_specs=(ospec, ospec),
         out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
                    jax.ShapeDtypeStruct((B, k), jnp.int32)),
@@ -434,5 +431,5 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(dig_arr, t1, t2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
-      ctx.e1lo, ctx.e1hi, ctx.e2lo, ctx.e2hi)
+      ctx.e1g, ctx.e2g)
     return jnp.concatenate([o1, o2], axis=-1)

@@ -8,6 +8,11 @@ paths).  Design deltas, all driven by measured v5e behavior:
   matrices*, so a full RNS Montgomery multiplication needs only ONE
   variable-by-variable integer multiply per channel; everything else is
   int8 matmuls plus float-reciprocal channel reductions.
+* **Sigma-form B2 half** (r3): B2 residues are stored pre-scaled by
+  c_j = (M2/m'_j)^-1, i.e. the stored value IS the Kawamura digit of
+  the true residue, which deletes one multiply and one exact reduction
+  per Montgomery multiply (see the ic2 block comment).  B1 stays in
+  true form; decode/to_limbs read only B1.
 * **int8 MXU path**: extension matrices are stored as 7-bit chunk pairs
   in int8; ``i8 x i8 -> i32`` dots sustain ~2x the bf16 rate on v5e and
   make every accumulation exact in int32 (no 2^24 float-exactness cliff).
@@ -18,10 +23,11 @@ paths).  Design deltas, all driven by measured v5e behavior:
 * **Per-base array layout**: residues live as a pair of [batch, k]
   arrays (base B1 / base B2) so every slice and broadcast is
   lane-offset-0 — Mosaic rejects broadcasts of tiles at non-128-aligned
-  lane offsets.  Each base extension is two ``[B, 2k] x [2k, k]`` dots
-  (lo-chunk / hi-chunk target matrices; a single merged [2k, off+k]
-  dot with an aligned zero gap measured 18% SLOWER on v5e — r3
-  ablation — so the split form is deliberate).
+  lane offsets.  Each base extension is ONE merged ``[B, 2k] x
+  [2k, 2*pk]`` int8 dot (lo-chunk columns at lane 0, hi-chunk columns
+  at the 128-aligned offset pk, zero gaps between): 25% faster than a
+  lo/hi dot pair on v5e (fewer MXU weight swaps) with both output
+  slices 128-aligned (scripts/perf_dotvar.py, r3).
 * **One fused Pallas kernel per modexp** (pallas_rns2.py): the residue
   carry, the window table and the extension matrices live in VMEM for
   the whole exponent ladder; HBM traffic collapses to kernel I/O.  The
@@ -72,16 +78,24 @@ I1_ONEM = 3    # (M mod N) mod m_i    (1 in Montgomery form)
 I1_ONE = 4     # 1
 NI1 = 5
 
-# ic2 rows (base B2 constants, int32 [NI2, k])
+# ic2 rows (base B2 constants, int32 [NI2, k]).
+#
+# SIGMA-FORM B2 REPRESENTATION (r3): every B2 residue is stored
+# pre-scaled by c_j = (M2/m'_j)^-1 mod m'_j — i.e. the stored value IS
+# the Kawamura digit sigma_j = w*c_j mod m'_j of the true residue w.
+# The second base extension needs exactly these digits, so storing them
+# directly deletes one int32 multiply (w*c) and one exact reduction
+# from EVERY Montgomery multiply's hot path.  The scaling is absorbed
+# into constants for free: the ext1 matrix columns and the U0 row carry
+# an extra c_j factor, the entry/one constant rows are stored scaled,
+# and the limb->residue converter scales its B2 columns.  Decode,
+# to_limbs and the CRT weights read only B1, which stays in true form.
 I2_M = 0       # B2 moduli
-I2_U0 = 1      # (2^0 * M^-1) mod m'_j
-I2_U1 = 2      # (2^7 * M^-1) mod m'_j
-I2_K30 = 3     # (2^0 * (M2/m'_j)^-1) mod m'_j
-I2_K31 = 4     # (2^7 * (M2/m'_j)^-1) mod m'_j
-I2_ENTRY = 5
-I2_ONEM = 6
-I2_ONE = 7
-NI2 = 8
+I2_U0S = 1     # (M^-1 * c_j^-1) mod m'_j  (sigma-form Montgomery factor)
+I2_ENTRY = 2   # sigma-form (M^2 mod N) mod m'_j
+I2_ONEM = 3    # sigma-form (M mod N) mod m'_j
+I2_ONE = 4     # sigma-form 1
+NI2 = 5
 
 COX_EPS = 0.05   # > worst-case f32 sum error (k <= 1024); true frac <= 1/8
 
@@ -106,14 +120,17 @@ class Rns2Context(NamedTuple):
     ic2: jax.Array     # int32 [NI2, k]
     f1: jax.Array      # f32 [1, k]: 1/m_i
     f2: jax.Array      # f32 [1, k]: 1/m'_j
-    e1lo: jax.Array    # int8 [2k, k]: ext1 lo-chunk columns (targets B2)
-    e1hi: jax.Array    # int8 [2k, k]
-    e2lo: jax.Array    # int8 [2k, k]: ext2 lo-chunk columns (targets B1)
-    e2hi: jax.Array    # int8 [2k, k]
+    e1g: jax.Array     # int8 [2k, 2*pk]: ext1 lo|gap|hi columns (-> B2)
+    e2g: jax.Array     # int8 [2k, 2*pk]: ext2 lo|gap|hi columns (-> B1)
 
     @property
     def k(self) -> int:
         return self.ic1.shape[-1]
+
+    @property
+    def pk(self) -> int:
+        """Lane-padded half-width of the merged extension matrices."""
+        return self.e1g.shape[-1] // 2
 
 
 class Rns2Spec:
@@ -150,13 +167,20 @@ class Rns2Spec:
         self.crt_w = [(M // p, pow(M // p, -1, p)) for p in b1]
         self.m2_mod_n = (M * M) % n_modulus
         self.onem_int = M % n_modulus
+        # sigma-form scale factors c_j = (M2/m'_j)^-1 mod m'_j (see the
+        # ic2 block comment): B2 residues are stored as w*c_j mod m'_j
+        self.sigma_c = [pow(M2 // p, -1, p) for p in b2]
 
-    # -- host <-> residues (external format: full-width [B, C]) -------------
+    # -- host <-> residues (external format: full-width [B, C], B2 half
+    # stored in sigma form) --------------------------------------------------
     def encode(self, values: Sequence[int]) -> np.ndarray:
+        k = self.k
         out = np.zeros((len(values), self.C), dtype=np.int32)
         for b, v in enumerate(values):
-            for i, m in enumerate(self.all_m):
+            for i, m in enumerate(self.b1):
                 out[b, i] = v % m
+            for j, m in enumerate(self.b2):
+                out[b, k + j] = (v % m) * self.sigma_c[j] % m
         return out
 
     def decode(self, residues: np.ndarray) -> list[int]:
@@ -181,31 +205,41 @@ class Rns2Spec:
         ic2 = np.zeros((NI2, k), dtype=np.int64)
         ic1[I1_M] = m1
         ic2[I2_M] = m2
+        cs = self.sigma_c
         for j, mj in enumerate(b2):
             minv = pow(M, -1, mj)
-            m2dj_inv = pow(M2 // mj, -1, mj)
-            ic2[I2_U0, j] = minv
-            ic2[I2_U1, j] = ((1 << CHUNK) * minv) % mj
-            ic2[I2_K30, j] = m2dj_inv
-            ic2[I2_K31, j] = ((1 << CHUNK) * m2dj_inv) % mj
+            # stored products carry c_j^2; one c_j^-1 = (M2/m'_j) here
+            # lands s2_stored * U0S == s2_true * M^-1 * c_j (sigma form)
+            ic2[I2_U0S, j] = minv * ((M2 // mj) % mj) % mj
         for i, mi in enumerate(b1):
             ic1[I1_M2M, i] = mi - (M2 % mi)     # ≡ -M2 (mod m_i), in (0, m_i)
             ic1[I1_ENTRY, i] = self.m2_mod_n % mi
             ic1[I1_ONEM, i] = self.onem_int % mi
             ic1[I1_ONE, i] = 1
         for j, mj in enumerate(b2):
-            ic2[I2_ENTRY, j] = self.m2_mod_n % mj
-            ic2[I2_ONEM, j] = self.onem_int % mj
-            ic2[I2_ONE, j] = 1
+            ic2[I2_ENTRY, j] = (self.m2_mod_n % mj) * cs[j] % mj
+            ic2[I2_ONEM, j] = (self.onem_int % mj) * cs[j] % mj
+            ic2[I2_ONE, j] = cs[j]
 
-        def lohi(T: np.ndarray):
-            lo = (T & ((1 << CHUNK) - 1)).astype(np.int8)
-            hi = (T >> CHUNK).astype(np.int8)
-            return lo, hi
+        # Each extension is ONE [2k, 2*pk] int8 dot: lo-chunk columns at
+        # lanes [0, k), hi-chunk columns at [pk, pk+k), zero gaps to the
+        # 128-lane boundary pk.  One merged dot measured 25% faster than
+        # the lo/hi dot pair on v5e (scripts/perf_dotvar.py: 41.9ms vs
+        # 56.0ms for the production 4-dot chain) — fewer MXU weight
+        # swaps — while both output slices stay 128-aligned.
+        pk = -(-k // 128) * 128
+        order = _row_order(k)
+
+        def merged(T: np.ndarray):
+            G = np.zeros((2 * k, 2 * pk), dtype=np.int8)
+            G[:, :k] = (T & ((1 << CHUNK) - 1)).astype(np.int8)
+            G[:, pk:pk + k] = (T >> CHUNK).astype(np.int8)
+            return G[order]
 
         # ext1 rows (c, i in B1) -> cols j in B2:
-        #   A[(c,i), j] = (w_ci * (M/m_i) * N * M^-1) mod m'_j,
+        #   A[(c,i), j] = (w_ci * (M/m_i) * N * M^-1 * c_j) mod m'_j,
         #   w_ci = (2^(7c) * k1_i) mod m_i, k1_i = (-N^-1 (M/m_i)^-1) mod m_i
+        # (the extra c_j factor lands the dot result in sigma form)
         T1 = np.zeros((2 * k, k), dtype=np.int64)
         for i, mi in enumerate(b1):
             Mdi = M // mi
@@ -213,10 +247,10 @@ class Rns2Spec:
             w0 = k1
             w1 = ((1 << CHUNK) * k1) % mi
             for j, mj in enumerate(b2):
-                base = (Mdi % mj) * (N % mj) % mj * pow(M, -1, mj) % mj
+                base = (Mdi % mj) * (N % mj) % mj * pow(M, -1, mj) \
+                    % mj * cs[j] % mj
                 T1[i, j] = (w0 * base) % mj
                 T1[k + i, j] = (w1 * base) % mj
-        e1lo, e1hi = lohi(T1)
 
         # ext2 rows (c, j in B2) -> cols i in B1: (2^(7c) * (M2/m'_j)) mod m_i
         T2 = np.zeros((2 * k, k), dtype=np.int64)
@@ -225,7 +259,6 @@ class Rns2Spec:
             for i, mi in enumerate(b1):
                 T2[j, i] = M2dj % mi
                 T2[k + j, i] = ((1 << CHUNK) * M2dj) % mi
-        e2lo, e2hi = lohi(T2)
 
         return Rns2Context(
             ic1=jnp.asarray(ic1.astype(np.int32)),
@@ -234,8 +267,7 @@ class Rns2Spec:
                            .astype(np.float32)[None]),
             f2=jnp.asarray((1.0 / m2.astype(np.float64))
                            .astype(np.float32)[None]),
-            e1lo=jnp.asarray(e1lo), e1hi=jnp.asarray(e1hi),
-            e2lo=jnp.asarray(e2lo), e2hi=jnp.asarray(e2hi),
+            e1g=jnp.asarray(merged(T1)), e2g=jnp.asarray(merged(T2)),
         )
 
 
@@ -300,14 +332,28 @@ def _red_fast(v, m, inv_m):
 
 
 # Ladder-path reduction hooks: the fused kernels resolve these at trace
-# time, so perf ablations (scripts/perf_red_ab.py) can swap variants
-# per-process without editing the kernel body.
+# time, so perf ablations (scripts/perf_sweep2.py) can swap variants
+# per-process without editing the kernel body.  Production mix measured
+# on v5e (r3, sigma-form k=320 sliding-w6 ladder, 4096/2048-bit):
+# trunc-bias digits + floor lazy outs = 74.9ms vs 76.8ms (exact digits)
+# vs 86.4ms (trunc-bias everywhere).  Soundness of _red_fast digits on
+# possibly-negative inputs: outputs land in (-m-740, m+740), the 7-bit
+# chunk split stays exact in two's complement (hi digit in [-125, 127]),
+# ext1 is congruence-only, and the cox alpha of ext2 counts signed digit
+# inflation exactly (each delta_j*m'_j shifts the alpha sum by exactly
+# delta_j; the underlying integer w stays in [0, 2N] regardless of
+# per-channel representatives, so floor(sum + eps) remains exact).
 _red_digit_lazy = _red_fast      # s1 / sg (chunked into int8 digits)
-_red_out_lazy = _red_fast        # s2 / w2 / w1 (residue outputs)
+_red_out_lazy = _red_lazy        # s2 / w1 (residue outputs)
 
 
 def _chunks(v):
-    """int32 < 2^14 -> (lo7, hi7) int32 chunks."""
+    """int32 in (-2^14, 2^14) -> (lo7, hi7) int32 chunks.
+
+    lo in [0, 127], hi = v >> 7 arithmetic: v == lo + 128*hi holds in
+    two's complement for negative v too (hi in [-128, 127] for the
+    _red_fast digit range), so signed digits stay int8-safe.
+    """
     return v & ((1 << CHUNK) - 1), v >> CHUNK
 
 
@@ -315,6 +361,39 @@ def _dot_i8(lhs_i8, rhs_i8):
     return lax.dot_general(lhs_i8, rhs_i8,
                            (((lhs_i8.ndim - 1,), (0,)), ((), ())),
                            preferred_element_type=jnp.int32)
+
+
+# Digit-pack variants for the extension lhs ([.., k] int32 digits ->
+# [.., 2k] int8).  "concat": chunk then concatenate (lo block | hi
+# block).  "bitcast": pack lo+256*hi into int16 and bitcast to int8
+# pairs — interleaved lane order (lo_0, hi_0, lo_1, hi_1, ...), matched
+# by interleaved extension-matrix rows.  Selected at import via
+# PAILLIER_TPU_PACK for measured ablation; matrices are built for the
+# active variant.
+import os as _os
+_PACK = _os.environ.get("PAILLIER_TPU_PACK", "concat")
+
+
+def _pack_digits(v):
+    """int32 digits in (-2^14, 2^14) -> int8 lhs [.., 2k]."""
+    if _PACK == "bitcast":
+        t = (v + ((v >> CHUNK) << CHUNK)).astype(jnp.int16)
+        return lax.bitcast_convert_type(t, jnp.int8).reshape(
+            *t.shape[:-1], 2 * t.shape[-1])
+    a0, a1 = _chunks(v)
+    return jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
+
+
+def _row_order(k: int) -> np.ndarray:
+    """Extension-matrix row permutation matching _pack_digits: row r of
+    the packed lhs corresponds to digit-chunk row _row_order(k)[r] of
+    the (lo rows 0..k-1, hi rows k..2k-1) canonical order."""
+    if _PACK == "bitcast":
+        idx = np.empty(2 * k, dtype=np.int64)
+        idx[0::2] = np.arange(k)          # lo_j at even lanes
+        idx[1::2] = np.arange(k) + k      # hi_j at odd lanes
+        return idx
+    return np.arange(2 * k)
 
 
 def _mm_lhs1(ctx: Rns2Context, x, y, lazy: bool):
@@ -326,44 +405,47 @@ def _mm_lhs1(ctx: Rns2Context, x, y, lazy: bool):
     s1 = digit_red(x1 * y1, ctx.ic1[I1_M], ctx.f1[0])
     s2 = _red_out_lazy(x2 * y2, ctx.ic2[I2_M], ctx.f2[0]) if lazy \
         else _red_lazy(x2 * y2, ctx.ic2[I2_M], ctx.f2[0])
-    a0, a1 = _chunks(s1)
-    lhs1 = jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
-    return lhs1, s2
+    return _pack_digits(s1), s2
 
 
 def _mm_ext1(ctx: Rns2Context, lhs1):
-    """MXU stage 1: first base extension (B1 -> B2), two int8 dots.
-    (A single merged [2k, off+k] dot measured 18% slower on v5e — r3.)"""
-    return _dot_i8(lhs1, ctx.e1lo), _dot_i8(lhs1, ctx.e1hi)
+    """MXU stage 1: first base extension (B1 -> B2) as ONE merged int8
+    dot [.., 2k] x [2k, 2*pk]; both output slices are 128-aligned
+    (offsets 0 and pk).  25% faster than the lo/hi dot pair on v5e."""
+    k, pk = ctx.k, ctx.pk
+    P = _dot_i8(lhs1, ctx.e1g)
+    return P[..., :k], P[..., pk:pk + k]
 
 
 def _mm_lhs2(ctx: Rns2Context, P, s2, lazy: bool):
-    """VPU stage 2: combine ext1, B2 result + exact sigma digits, ext2
-    lhs pack.  Returns (lhs2, sg, w2)."""
+    """VPU stage 2: combine ext1 into the sigma-form B2 result, pack the
+    ext2 lhs.  Returns (lhs2, sg) — sg IS the B2 output (sigma form),
+    so the old separate w2 = red(..) and sg = red(w2*K30) collapse into
+    ONE exact reduction (see the sigma-form block comment at ic2)."""
     Plo, Phi = P
     m2 = ctx.ic2[I2_M]
     inv2 = ctx.f2[0]
     digit_red = _red_digit_lazy if lazy else _red
-    out_red = _red_out_lazy if lazy else _red
     # Plo + (Phi << 7): for k >= 512 the worst case exceeds int32
     # (2k*127*127*129 > 2^31) — reduce the hi dot first on wide specs
     # (4096-bit keys / level-2 at 2048-bit); narrow specs skip the red.
     if P[0].shape[-1] >= 512:
         Phi = digit_red(Phi, m2, inv2)
-    v = Plo + (Phi << CHUNK)                     # == Q*N*M^-1 mod m', < 1.4e9
-    # t1 = p_j * M^-1 mod m'_j: s2 < 2^15, U0 < 2^14 -> t1 < 2^29;
-    # v + t1 < 1.7e9 = VMAX (the widest red input anywhere)
-    w2 = out_red(v + s2 * ctx.ic2[I2_U0], m2, inv2)
-    # B2 digits sigma_j = w * (M2/m'_j)^-1 mod m'_j (prod < 2^28.1)
-    sg = digit_red(w2 * ctx.ic2[I2_K30], m2, inv2)
-    s0, s1c = _chunks(sg)
-    lhs2 = jnp.concatenate([s0, s1c], axis=-1).astype(jnp.int8)
-    return lhs2, sg, w2
+    v = Plo + (Phi << CHUNK)                # == Q*N*M^-1*c mod m', < 1.4e9
+    # t1 = p_j * M^-1 * c_j mod m'_j: s2 < 2^15 (lazy product of
+    # sigma-form halves), U0S < 2^14 -> t1 < 2^29; v + t1 < 1.9e9.
+    # sg is both the stored B2 residue and the ext2 digit vector; it
+    # needs a digit-safe reduction ([0, 2^14), exact in the canonical
+    # path — the cox alpha counts any near-canonical digit inflation).
+    sg = digit_red(v + s2 * ctx.ic2[I2_U0S], m2, inv2)
+    return _pack_digits(sg), sg
 
 
 def _mm_ext2(ctx: Rns2Context, lhs2):
-    """MXU stage 2: second base extension (B2 -> B1)."""
-    return _dot_i8(lhs2, ctx.e2lo), _dot_i8(lhs2, ctx.e2hi)
+    """MXU stage 2: second base extension (B2 -> B1), one merged dot."""
+    k, pk = ctx.k, ctx.pk
+    V = _dot_i8(lhs2, ctx.e2g)
+    return V[..., :k], V[..., pk:pk + k]
 
 
 def _mm_finish(ctx: Rns2Context, V, sg, lazy: bool):
@@ -401,10 +483,10 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     """
     lhs1, s2 = _mm_lhs1(ctx, x, y, lazy)
     P = _mm_ext1(ctx, lhs1)
-    lhs2, sg, w2 = _mm_lhs2(ctx, P, s2, lazy)
+    lhs2, sg = _mm_lhs2(ctx, P, s2, lazy)
     V = _mm_ext2(ctx, lhs2)
     w1 = _mm_finish(ctx, V, sg, lazy)
-    return w1, w2
+    return w1, sg
 
 
 def rns2_mont_mul_pair2(ctx: Rns2Context, xa, ya, xb, yb,
@@ -419,13 +501,13 @@ def rns2_mont_mul_pair2(ctx: Rns2Context, xa, ya, xb, yb,
     Pa = _mm_ext1(ctx, lhs1a)                        # MXU A1
     lhs1b, s2b = _mm_lhs1(ctx, xb, yb, lazy)         # VPU B  (|| MXU A1)
     Pb = _mm_ext1(ctx, lhs1b)                        # MXU B1
-    lhs2a, sga, w2a = _mm_lhs2(ctx, Pa, s2a, lazy)   # VPU A  (|| MXU B1)
+    lhs2a, sga = _mm_lhs2(ctx, Pa, s2a, lazy)        # VPU A  (|| MXU B1)
     Va = _mm_ext2(ctx, lhs2a)                        # MXU A2
-    lhs2b, sgb, w2b = _mm_lhs2(ctx, Pb, s2b, lazy)   # VPU B  (|| MXU A2)
+    lhs2b, sgb = _mm_lhs2(ctx, Pb, s2b, lazy)        # VPU B  (|| MXU A2)
     Vb = _mm_ext2(ctx, lhs2b)                        # MXU B2
     w1a = _mm_finish(ctx, Va, sga, lazy)             # VPU A  (|| MXU B2)
     w1b = _mm_finish(ctx, Vb, sgb, lazy)
-    return (w1a, w2a), (w1b, w2b)
+    return (w1a, sga), (w1b, sgb)
 
 
 def _split(ctx: Rns2Context, x):
@@ -668,10 +750,13 @@ class Rns2Converter:
         k, C = spec.k, spec.C
         mask = (1 << CHUNK) - 1
 
-        # forward matrix: rows = 3 chunk blocks x L limbs, cols = (lo|hi) x C
+        # forward matrix: rows = 3 chunk blocks x L limbs, cols = (lo|hi) x C;
+        # B2 columns carry the sigma-form scale c_j so from_limbs lands
+        # directly in the stored representation
         P = np.zeros((n_limbs, C), dtype=np.int64)
         for i, mi in enumerate(spec.all_m):
-            val, step = 1 % mi, pow(2, 16, mi)
+            scale = spec.sigma_c[i - k] if i >= k else 1
+            val, step = scale % mi, pow(2, 16, mi)
             for l in range(n_limbs):
                 P[l, i] = val
                 val = (val * step) % mi
