@@ -298,7 +298,12 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
     if block is None:
         budget = VMEM_LIMIT - (12 << 20)
         tbl_b = 2 if _TBL_DTYPE == jnp.int16 else 4
-        per_elem = (T * tbl_b // 2 + 16) * 2 * k * 4   # table + live i32
+        # odd-power table (T entries x 2 bases x k lanes) + ~16 live
+        # int32 [blk, k] temporaries.  Bigger blocks stream more rows
+        # per MXU weight load: 1024 measured 72.5ms vs 512's 74.0ms on
+        # the 2048-bit ladder (r3), so prefer the largest block that
+        # fits the VMEM budget.
+        per_elem = T * 2 * k * tbl_b + 16 * k * 4
         blk = max(8, min(budget // per_elem, B, 1024))
         while blk > 8 and (B % blk or blk % 8):
             blk -= 1

@@ -228,13 +228,12 @@ class Rns2Spec:
         # 56.0ms for the production 4-dot chain) — fewer MXU weight
         # swaps — while both output slices stay 128-aligned.
         pk = -(-k // 128) * 128
-        order = _row_order(k)
 
         def merged(T: np.ndarray):
             G = np.zeros((2 * k, 2 * pk), dtype=np.int8)
             G[:, :k] = (T & ((1 << CHUNK) - 1)).astype(np.int8)
             G[:, pk:pk + k] = (T >> CHUNK).astype(np.int8)
-            return G[order]
+            return G
 
         # ext1 rows (c, i in B1) -> cols j in B2:
         #   A[(c,i), j] = (w_ci * (M/m_i) * N * M^-1 * c_j) mod m'_j,
@@ -363,37 +362,14 @@ def _dot_i8(lhs_i8, rhs_i8):
                            preferred_element_type=jnp.int32)
 
 
-# Digit-pack variants for the extension lhs ([.., k] int32 digits ->
-# [.., 2k] int8).  "concat": chunk then concatenate (lo block | hi
-# block).  "bitcast": pack lo+256*hi into int16 and bitcast to int8
-# pairs — interleaved lane order (lo_0, hi_0, lo_1, hi_1, ...), matched
-# by interleaved extension-matrix rows.  Selected at import via
-# PAILLIER_TPU_PACK for measured ablation; matrices are built for the
-# active variant.
-import os as _os
-_PACK = _os.environ.get("PAILLIER_TPU_PACK", "concat")
-
-
 def _pack_digits(v):
-    """int32 digits in (-2^14, 2^14) -> int8 lhs [.., 2k]."""
-    if _PACK == "bitcast":
-        t = (v + ((v >> CHUNK) << CHUNK)).astype(jnp.int16)
-        return lax.bitcast_convert_type(t, jnp.int8).reshape(
-            *t.shape[:-1], 2 * t.shape[-1])
+    """int32 digits in (-2^14, 2^14) -> int8 lhs [.., 2k] (lo | hi).
+
+    (An int16 pack + bitcast-to-int8 variant was tried in r3 to skip
+    the lane-offset-320 int8 concat relayout, but Mosaic does not lower
+    bitwidth-changing bitcasts inside kernels.)"""
     a0, a1 = _chunks(v)
     return jnp.concatenate([a0, a1], axis=-1).astype(jnp.int8)
-
-
-def _row_order(k: int) -> np.ndarray:
-    """Extension-matrix row permutation matching _pack_digits: row r of
-    the packed lhs corresponds to digit-chunk row _row_order(k)[r] of
-    the (lo rows 0..k-1, hi rows k..2k-1) canonical order."""
-    if _PACK == "bitcast":
-        idx = np.empty(2 * k, dtype=np.int64)
-        idx[0::2] = np.arange(k)          # lo_j at even lanes
-        idx[1::2] = np.arange(k) + k      # hi_j at odd lanes
-        return idx
-    return np.arange(2 * k)
 
 
 def _mm_lhs1(ctx: Rns2Context, x, y, lazy: bool):
