@@ -19,13 +19,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Force a real device->host readback: jax.block_until_ready can
+    return early through the axon tunnel (measured r3), so timing must
+    anchor on materialized bytes."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+    return out
+
+
 def _time(fn, *args, warmup=1, iters=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -138,9 +147,9 @@ def bench_aggregate(bits=2048, batch=1 << 20, window=4, chunk=1 << 16):
         return hom.aggregate(pk, Ciphertext(c=stacked, level=LEVEL_ONE),
                              axis=0).c
 
-    jax.block_until_ready(agg_all())      # warmup / compile
+    _sync(agg_all())      # warmup / compile
     t0 = time.perf_counter()
-    jax.block_until_ready(agg_all())
+    _sync(agg_all())
     t = time.perf_counter() - t0
     return batch / t
 
@@ -267,9 +276,10 @@ def emit(metric, value, unit, baseline):
 
 def main():
     args = sys.argv[1:] or ["enc2048"]
-    if args == ["all"]:
-        args = ["enc2048", "enc2048alt", "enc1024", "dec2048", "agg",
-                "threshold", "ddleq"]
+    if "all" in args:
+        i = args.index("all")
+        args[i:i + 1] = ["enc2048", "enc2048alt", "enc1024", "dec2048",
+                         "agg", "threshold", "ddleq"]
     for a in args:
         if a == "enc2048":
             v = bench_encrypt(2048)

@@ -15,12 +15,17 @@ TPU build needs to make perf numbers actionable:
 The model's inventory of the fused kernel (per Montgomery multiply, per
 element, k channels per base; see rns2.rns2_mont_mul_pair):
 
-  MXU   4 int8 dots [B,2k]x[2k,k] = 8k^2 MACs ideal; the TPU pads the
-        k-wide output to 128-lane tiles, so the padded cost is
-        2k * 2*ceil(k/128)*128 per extension pair.
-  VPU   ~50 elementwise passes over [B,k] int32/f32 (5 float-reciprocal
-        reductions, chunking, casts, cox alpha fixup) plus one k-lane
-        f32 reduction (the cox sum).
+  MXU   2 merged int8 dots [B,2k]x[2k,2*pk] = 8k^2 MACs ideal; the
+        lo/hi chunk column groups sit at 128-aligned offsets with zero
+        gaps, so the issued cost is 2k * 2*ceil(k/128)*128 per
+        extension (identical MAC count to the old 4-dot split, fewer
+        MXU weight swaps).
+  VPU   ~37 effective elementwise passes over [B,k] int32/f32 (4
+        float-reciprocal reductions in sigma form, chunking, casts,
+        cox alpha fixup) plus one k-lane f32 reduction (the cox sum).
+        The count is calibrated from the r3 measured decomposition
+        (kernel minus dot-only knockout); Mosaic fuses multiple ALU
+        ops per VMEM round trip, so instruction counting overstates it.
   HBM   zero per multiply — the whole ladder runs out of VMEM; kernel
         I/O is 2*B*C int32 in + out per call.
 """
@@ -53,7 +58,12 @@ CHIPS = {
                    hbm_gbps=1228.0, vmem_mib=128),
 }
 
-VPU_PASSES_PER_MMUL = 50      # counted from rns2.rns2_mont_mul_pair (lazy)
+# Effective VPU passes per Montgomery multiply, calibrated r3 on v5e:
+# (72.5ms kernel - 42.9ms dot-only chain) over 2374 mmuls x B=4096
+# = ~37 single-op [B,k] passes at the 3.85 T ops/s VPU rate.  MXU/VPU
+# overlap measured ~16% (scripts/perf_overlap.py), so real throughput
+# sits between serial_bound and overlap_bound, near the serial end.
+VPU_PASSES_PER_MMUL = 37
 
 
 def detect_chip() -> ChipSpec:
