@@ -88,11 +88,15 @@ def _modexp_kernel(dig_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref, f2_ref,
         for _ in range(window):
             acc = mmul(acc, acc)
         if per_element:
-            d = dig_ref[i, :]                    # [Bblk] int32
+            # reshape the int32 digits BEFORE comparing: Mosaic cannot
+            # insert a minor dim on i1 (bool) vectors at some block
+            # sizes ("Insertion of minor dim that is not a no-op only
+            # supported for 32-bit types", hit at blk=256 in r3)
+            dcol = dig_ref[i, :][:, None]        # [Bblk, 1] int32
             t1 = jnp.zeros_like(acc[0])
             t2 = jnp.zeros_like(acc[1])
             for v in range(1 << window):
-                sel = (d == v)[:, None]
+                sel = dcol == v
                 t1 = jnp.where(sel, tbl1[v], t1)
                 t2 = jnp.where(sel, tbl2[v], t2)
         else:
