@@ -34,14 +34,17 @@ paths).  Design deltas, all driven by measured v5e behavior:
   ``lax.scan`` formulation of v1 paid ~40-60us of HBM carry traffic per
   modmul; the fused kernel pays none.
 
-Value-range invariants: channel primes < MCAP (with large-k specs
-dipping toward 2^11.3), k per base.  Ladder (lazy) residues live in
-[0, m + ~740) from the biased truncating reductions (_red_fast); the
-final lazy=False multiply returns canonical [0, m).  Two-chunk matrix
-folding inflates first-extension digits to < 2^22, so alpha1 <
-k*2^9.5; inputs/outputs of the Montgomery multiply stay below
-lambda*N with lambda = k*2^10.  The spec enforces M >= lambda^2 * N
-(first base) and M2 >= 8*lambda*N (cox margin, second base).
+Value-range invariants (r3 signed-lazy configuration): channel primes
+< MCAP, k per base.  Ladder (lazy) residues are SIGNED near-canonical:
+digit outputs (_red_fast) live in (-(m + ~820), m + ~820) and residue
+outputs (_red_lazy) in (-m, 2m); the final lazy=False multiply returns
+canonical [0, m).  Two-chunk matrix folding inflates first-extension
+digits to < 2^22, so alpha1 < k*2^9.5; inputs/outputs of the Montgomery
+multiply stay below lambda*N in magnitude with lambda = k*2^10.  The
+spec enforces M >= lambda^2 * N (first base) and M2 >= 8*lambda*N —
+the latter both caps the true cox fraction at 1/8 AND caps the signed
+digit-inflation drift |t|*N/M2 <= 1/64 that COX_EPS must dominate
+(see COX_EPS below; statically asserted in Rns2Spec.__init__).
 
 Replaces the reference's gmp.Int.Exp hot path (reference:
 paillier.go:213-216, 296; thresholdkey.go:195-199; ddleq.go:81-87).
@@ -60,12 +63,14 @@ from jax import lax
 from . import host
 
 CHUNK = 7                      # int8 chunk width (values < 2^7)
-# Channel prime cap for the fast-reduction ladder path: lazy residues
-# live in [0, m + RED_BIAS_INT + ~320) and must still chunk into two
-# nonneg int8 7-bit digits (< 2^14): 15200 + 420 + 320 = 15940 < 16384,
-# hi chunk <= 124.  The bias is an *absolute* pre-subtraction because the
-# f32 quotient error in units of m is m-independent (~3.5*VMAX*2^-24
-# with VMAX = 1.7e9, the widest red input in rns2_mont_mul_pair).
+# Channel prime cap for the fast-reduction ladder path: _red_fast digit
+# outputs live in (-(m + RED_BIAS_INT + ~396), m + RED_BIAS_INT + ~396)
+# and must still chunk into two int8 7-bit digits, i.e. |digit| < 2^14:
+# 15200 + 420 + 396 = 16016 < 16384, hi chunk in [-126, 125].  The bias
+# is an *absolute* pre-subtraction because the f32 quotient error in
+# units of m is m-independent: delta*m <= ~3.5*VMAX*2^-24 ~= 396 with
+# VMAX = 1.9e9, the widest red input (v + t1 in _mm_lhs2) — leaving a
+# 420 - 396 = 24 margin under RED_BIAS_INT.
 MCAP = 15200
 RED_BIAS_INT = 420
 
@@ -97,7 +102,19 @@ I2_ONEM = 3    # sigma-form (M mod N) mod m'_j
 I2_ONE = 4     # sigma-form 1
 NI2 = 5
 
-COX_EPS = 0.05   # > worst-case f32 sum error (k <= 1024); true frac <= 1/8
+# Cox bias.  With the signed lazy digit mix (_red_fast on possibly
+# negative inputs) the B2 digit vector sg represents w + t*M2' where the
+# underlying integer drift t can be NEGATIVE with |t| <= k*2^7 (each
+# channel's representative deviates by at most ~m'_j*2^7/2^7... bounded
+# by one m'_j, and the ext1 digit inflation adds < 2^7 per channel), so
+# the cox fraction can sit just BELOW an integer: exactness requires
+#   COX_EPS  >  max|t| * N / M2  +  f32-tree-sum error
+# where max|t|*N/M2 <= k*2^7*N/M2 <= 2^7/(8*2^10) = 1/64 (from
+# M2 >= 8*lambda*N, lambda = k*2^10) and the f32 error is < 2e-3 for
+# k <= 1024.  0.05 > 1/64 + 2e-3; the headroom on the other side
+# (true frac + eps < 1) holds since the true fraction is <= 1/8.
+# Statically asserted against the concrete spec in Rns2Spec.__init__.
+COX_EPS = 0.05
 
 
 def _primes_descending(count: int) -> list[int]:
@@ -158,6 +175,15 @@ class Rns2Spec:
             if M >= lam * lam * n_modulus and M2 >= 8 * lam * n_modulus:
                 break
             k += 64
+        # COX_EPS soundness under the signed-digit lazy mix (see the
+        # COX_EPS comment): eps must dominate the drift + f32 sum error
+        # while true_frac(1/8) + drift + eps stays below 1.
+        drift = (k * 128 * n_modulus) / M2
+        f32_err = 2e-3
+        assert COX_EPS > drift + f32_err, (
+            f"COX_EPS={COX_EPS} too small for k={k}: drift bound "
+            f"{drift:.4f} + f32 error {f32_err}")
+        assert 0.125 + drift + COX_EPS < 1.0
         self.k = k
         self.C = 2 * k
         self.b1, self.b2 = b1, b2
@@ -336,12 +362,17 @@ def _red_fast(v, m, inv_m):
 # on v5e (r3, sigma-form k=320 sliding-w6 ladder, 4096/2048-bit):
 # trunc-bias digits + floor lazy outs = 74.9ms vs 76.8ms (exact digits)
 # vs 86.4ms (trunc-bias everywhere).  Soundness of _red_fast digits on
-# possibly-negative inputs: outputs land in (-m-740, m+740), the 7-bit
-# chunk split stays exact in two's complement (hi digit in [-125, 127]),
-# ext1 is congruence-only, and the cox alpha of ext2 counts signed digit
-# inflation exactly (each delta_j*m'_j shifts the alpha sum by exactly
-# delta_j; the underlying integer w stays in [0, 2N] regardless of
-# per-channel representatives, so floor(sum + eps) remains exact).
+# possibly-negative inputs: outputs land in (-m-820, m+820), the 7-bit
+# chunk split stays exact in two's complement (hi digit in [-126, 125]),
+# and ext1 is congruence-only.  The cox alpha of ext2 is where signed
+# digits bite: each per-channel deviation delta_j shifts the alpha sum
+# by exactly delta_j (integer part — removed exactly by the alpha
+# correction), BUT the underlying integer the digit vector represents
+# becomes w0 + t*N with t possibly NEGATIVE (|t| <= k*2^7), so the cox
+# fraction can wrap toward 1 - |t|*N/M2.  Exactness of
+# floor(sum + COX_EPS) therefore silently depends on
+# COX_EPS > k*2^7*N/M2 + f32-sum error — see the COX_EPS comment and
+# the static assert in Rns2Spec.__init__ (ADVICE r3).
 _red_digit_lazy = _red_fast      # s1 / sg (chunked into int8 digits)
 _red_out_lazy = _red_lazy        # s2 / w1 (residue outputs)
 
@@ -447,15 +478,18 @@ def _mm_finish(ctx: Rns2Context, V, sg, lazy: bool):
 def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     """w = x*y*M^-1 mod N on residue pairs ((x1, x2), (y1, y2)).
 
-    Halves are int32 [..., k] residues of values < lambda*N — canonical
-    [0, m) or, with ``lazy`` chains, nonneg near-canonical values in
-    [0, ~1.1m) from :func:`_red_fast`.  With ``lazy=True`` the outputs
-    are lazy too (use inside exponent ladders; finish with one
-    lazy=False multiply so the final residues are canonical).  Every
-    intermediate is nonneg (the cox correction is additive, I1_M2M
-    stores -M2 mod m_i), so the lazy path needs only truncating
-    reductions — no floor, no conditional fixes.  Kernel-safe: offset-0
-    slices, concat, dot_general, elementwise only.
+    Halves are int32 [..., k] residues of values < lambda*N in
+    magnitude — canonical [0, m) or, with ``lazy`` chains, SIGNED
+    near-canonical: digit-path values in (-m-820, m+820) from
+    :func:`_red_fast` and residue outputs in (-m, 2m) from
+    :func:`_red_lazy`.  With ``lazy=True`` the outputs are lazy too
+    (use inside exponent ladders; finish with one lazy=False multiply
+    so the final residues are canonical).  The signed ranges keep every
+    int32 product below ~1.9e9 (see _mm_lhs2) and the 7-bit chunk split
+    exact in two's complement; cox-alpha exactness under the signed mix
+    is guaranteed by the COX_EPS margin (statically asserted in
+    Rns2Spec).  Kernel-safe: offset-0 slices, concat, dot_general,
+    elementwise only.
     """
     lhs1, s2 = _mm_lhs1(ctx, x, y, lazy)
     P = _mm_ext1(ctx, lhs1)

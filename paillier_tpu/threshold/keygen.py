@@ -57,7 +57,16 @@ class ThresholdKeyGenerator:
                 return p, p1, q, q1
 
     def generate(self) -> List[ThresholdSecretKey]:
-        p, p1, q, q1 = self._init_ps_and_qs()
+        return self.generate_from_primes(*self._init_ps_and_qs())
+
+    def generate_from_primes(self, p: int, p1: int, q: int, q1: int
+                             ) -> List[ThresholdSecretKey]:
+        """Key generation from caller-supplied safe-prime pairs
+        p = 2*p1 + 1, q = 2*q1 + 1 (e.g. precomputed fixtures, so a
+        benchmark measures decryption rather than prime-search luck).
+        The polynomial/share/verification-key steps are identical to
+        :meth:`generate` (thresholdkey_generator.go:177-278)."""
+        assert p == 2 * p1 + 1 and q == 2 * q1 + 1
         n = p * q
         m = p1 * q1
         nm = n * m

@@ -21,7 +21,8 @@ sys.path.insert(0, "/root/repo")
 import paillier_tpu.bigint.rns2 as rns2
 from paillier_tpu.bigint import host
 
-BLOCK = 512
+import os
+BLOCK = int(os.environ.get("BLOCK", "512"))
 B = 4096
 
 nbits = 4096
@@ -35,7 +36,8 @@ e = int.from_bytes(rng.bytes(256)) | (1 << 2047)
 want = [pow(xi, e, n_mod) for xi in xs[:4]]
 
 orig = {n: getattr(rns2, n) for n in
-        ("_mm_lhs1", "_mm_ext1", "_mm_lhs2", "_mm_ext2", "_mm_finish")}
+        ("_mm_lhs1", "_mm_ext1", "_mm_lhs2", "_mm_ext2", "_mm_finish",
+         "_red_digit_lazy", "_red_out_lazy")}
 
 
 def restore():
@@ -79,6 +81,49 @@ def apply(ko):
             lo = rns2._dot_i8(lhs2, ctx.e2g[:, :ctx.k])
             return lo, lo
         rns2._mm_ext2 = ext2
+    elif ko == "halflhs":
+        # lo-chunk-only lhs (wrong results): removes the _pack_digits
+        # lane-concat AND halves the dot contraction rows — an upper
+        # bound on (pack cost + dot row-scaling) together
+
+        def lhs1(ctx, x, y, lazy):
+            x1, x2 = x
+            y1, y2 = y
+            digit_red = rns2._red_digit_lazy if lazy else rns2._red
+            s1 = digit_red(x1 * y1, ctx.ic1[rns2.I1_M], ctx.f1[0])
+            s2 = rns2._red_out_lazy(x2 * y2, ctx.ic2[rns2.I2_M], ctx.f2[0])
+            return s1.astype(jnp.int8), s2     # [.., k] i8: no concat
+
+        def ext1(ctx, lhs1v):
+            k = ctx.k
+            P = rns2._dot_i8(lhs1v, ctx.e1g[:k])
+            return P[..., :k], P[..., ctx.pk:ctx.pk + k]
+
+        def lhs2(ctx, P, s2, lazy):
+            Plo, Phi = P
+            m2 = ctx.ic2[rns2.I2_M]
+            inv2 = ctx.f2[0]
+            digit_red = rns2._red_digit_lazy if lazy else rns2._red
+            v = Plo + (Phi << rns2.CHUNK)
+            sg = digit_red(v + s2 * ctx.ic2[rns2.I2_U0S], m2, inv2)
+            return sg.astype(jnp.int8), sg
+
+        def ext2(ctx, lhs2v):
+            k = ctx.k
+            P = rns2._dot_i8(lhs2v, ctx.e2g[:k])
+            return P[..., :k], P[..., ctx.pk:ctx.pk + k]
+
+        rns2._mm_lhs1 = lhs1
+        rns2._mm_ext1 = ext1
+        rns2._mm_lhs2 = lhs2
+        rns2._mm_ext2 = ext2
+    elif ko == "nored":
+        # digit reds become a single subtract (wrong results): isolates
+        # the 6-op _red_fast cost (4 call sites per mmul)
+        def red1(v, m, inv_m):
+            return v - m
+        rns2._red_digit_lazy = red1
+        rns2._red_out_lazy = red1
     else:
         raise SystemExit(f"unknown knockout {ko}")
 
