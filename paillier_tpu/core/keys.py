@@ -200,11 +200,16 @@ class DeviceKey:
                         jnp.asarray(mont.exp_digits(e, window, nd)), window)
 
     def constmul_n(self):
-        """Cached Toeplitz plan for x * n at width L -> 2L (limbmm)."""
+        """Cached Toeplitz plan for x * n at width L -> 2L (limbmm).
+
+        Built under ensure_compile_time_eval: the first call may come
+        from inside a jit trace, and caching trace-local tracers leaks
+        them into every later trace (bit us on hardware in r4 smoke)."""
         if "constmul_n" not in self.jit_cache:
             from ..bigint.limbmm import ConstMulPlan
-            self.jit_cache["constmul_n"] = ConstMulPlan.build(
-                self.pk.n, self.L, 2 * self.L)
+            with jax.ensure_compile_time_eval():
+                self.jit_cache["constmul_n"] = ConstMulPlan.build(
+                    self.pk.n, self.L, 2 * self.L)
         return self.jit_cache["constmul_n"]
 
     def _widen(self, x: jax.Array, level: int) -> jax.Array:
@@ -223,7 +228,8 @@ class DeviceKey:
         if level not in self._hs:
             val = self.hs_int_for_level(level)
             width = self.limbs_for_level(level)
-            self._hs[level] = jnp.asarray(host.int_to_limbs(val, width))
+            with jax.ensure_compile_time_eval():   # may be hit in-trace
+                self._hs[level] = jnp.asarray(host.int_to_limbs(val, width))
         return self._hs[level]
 
     def hs_int_for_level(self, level: int) -> int:
