@@ -126,32 +126,46 @@ def aggregate(pk: PublicKey, ct: Ciphertext, axis: int = 0,
     if engine == "auto":
         engine = "rns" if dk.use_rns() else "limb"
 
-    if engine == "rns":
-        eng = dk.rns(ct.level)
-        x = eng.from_limbs(c)
-        while x.shape[0] > 1:
-            if x.shape[0] % 2:
-                one = jnp.asarray(eng.spec.encode([1]))
-                x = jnp.concatenate([x, one], axis=0)
-            x = eng.mont_mul(x[0::2], x[1::2])
-        # each tree multiply divides by M; restore with one more mult
-        t_pow = _tree_r_power(m)
-        fix = jnp.asarray(eng.spec.encode(
-            [pow(eng.spec.M, t_pow + 1, mod)]))[0]
-        out_rns = eng.mont_mul(x[0], fix)
-        out = dk._widen(eng.to_limbs_mod(out_rns[None]), ct.level)[0]
-        return Ciphertext(c=out, level=ct.level, method=MIXED)
+    # The whole product tree runs inside ONE jit (cached per shape):
+    # the eager per-level formulation paid one dispatch RPC per tree
+    # level — ~272 round trips for the 1M-aggregate config, 100x the
+    # actual compute time on the tunnel-attached chip (r4).
+    key = ("agg", engine, ct.level, m, c.shape[-1])
+    fn = dk.jit_cache.get(key)
+    if fn is None:
+        if engine == "rns":
+            eng = dk.rns(ct.level)
+            level = ct.level
+            t_pow = _tree_r_power(m)
+            fix_np = eng.spec.encode([pow(eng.spec.M, t_pow + 1, mod)])
+            one_np = eng.spec.encode([1])
 
-    ctx = dk.ctx_for_level(ct.level)
-    Ltot = c.shape[-1]
-    R = 1 << (host.LIMB_BITS * Ltot)
-    # every tree mont_mul contributes an R^{-1}; padding elements are the
-    # integer 1 (not Montgomery one), so they contribute none of their own.
-    r_pow = _tree_r_power(m)
-    r_fix = pow(R, r_pow + 1, mod)  # +1 for the final fixup mont_mul
-    rf = encode_batch([r_fix], Ltot)[0]
-    out = aggregate_kernel(ctx, c, rf)
-    return Ciphertext(c=out, level=ct.level, method=MIXED)
+            def agg_fn(c):
+                x = eng.from_limbs(c)
+                while x.shape[0] > 1:
+                    if x.shape[0] % 2:
+                        x = jnp.concatenate([x, jnp.asarray(one_np)],
+                                            axis=0)
+                    x = eng.mont_mul(x[0::2], x[1::2])
+                # each tree multiply divides by M; restore with one mult
+                out_rns = eng.mont_mul(x[0], jnp.asarray(fix_np)[0])
+                return dk._widen(eng.to_limbs_mod(out_rns[None]), level)[0]
+        else:
+            ctx = dk.ctx_for_level(ct.level)
+            Ltot = c.shape[-1]
+            R = 1 << (host.LIMB_BITS * Ltot)
+            # every tree mont_mul contributes an R^{-1}; padding elements
+            # are the integer 1, so they contribute none of their own.
+            r_pow = _tree_r_power(m)
+            r_fix = pow(R, r_pow + 1, mod)  # +1 for the final fixup
+            rf = encode_batch([r_fix], Ltot)[0]
+
+            def agg_fn(c):
+                return aggregate_kernel(ctx, c, rf)
+
+        fn = jax.jit(agg_fn)
+        dk.jit_cache[key] = fn
+    return Ciphertext(c=fn(c), level=ct.level, method=MIXED)
 
 
 def aggregate_streaming(pk: PublicKey, chunks: Iterable[Ciphertext],
