@@ -58,12 +58,15 @@ CHIPS = {
                    hbm_gbps=1228.0, vmem_mib=128),
 }
 
-# Effective VPU passes per Montgomery multiply, calibrated r3 on v5e:
-# (72.5ms kernel - 42.9ms dot-only chain) over 2374 mmuls x B=4096
-# = ~37 single-op [B,k] passes at the 3.85 T ops/s VPU rate.  MXU/VPU
-# overlap measured ~16% (scripts/perf_overlap.py), so real throughput
-# sits between serial_bound and overlap_bound, near the serial end.
-VPU_PASSES_PER_MMUL = 37
+# Effective VPU passes per Montgomery multiply, calibrated r4 on v5e:
+# (~65ms kernel - ~43ms dot-issue) over 2373 mmuls x B=4096 = ~23
+# single-op [B, 384-lane] passes at the 3.85 T ops/s VPU rate (knockout
+# decomposition, scripts/perf_knockout.py: reds 8.6ms, alpha ~1ms,
+# products/chunk/pack/loop ~12ms).  r4 conclusion: MXU and VPU share
+# the issue stream — kernel time ~= MXU-issue + VPU-issue, so the
+# serial envelope IS the model; the "overlap envelope" is unreachable
+# and reported only as the hypothetical dots-only bound.
+VPU_PASSES_PER_MMUL = 23
 
 
 def detect_chip() -> ChipSpec:
@@ -132,7 +135,10 @@ class RooflineModel:
         return self.chip.int8_tops * 1e12 / ops
 
     def vpu_bound(self) -> float:
-        ops = VPU_PASSES_PER_MMUL * self.k * self.mults
+        # VPU cost is vreg-quantized: a [B, k] pass occupies
+        # ceil(k/128)*128 lanes regardless of k (measured r4)
+        kp = -(-self.k // 128) * 128
+        ops = VPU_PASSES_PER_MMUL * kp * self.mults
         return self.chip.vpu_gops * 1e9 / ops
 
     def serial_bound(self) -> float:
@@ -154,14 +160,16 @@ class RooflineModel:
             f"(ideal, unpadded: {self.mxu_bound(False):,.0f})",
             f"  VPU speed-of-light : {self.vpu_bound():>12,.0f} elem/s "
             f"({VPU_PASSES_PER_MMUL} passes/mmul)",
-            f"  serial envelope    : {self.serial_bound():>12,.0f} elem/s",
-            f"  overlap envelope   : {self.overlap_bound():>12,.0f} elem/s",
+            f"  serial envelope    : {self.serial_bound():>12,.0f} elem/s"
+            "  <- the model (issue-bound, r4)",
+            f"  dots-only bound    : {self.overlap_bound():>12,.0f} elem/s"
+            "  (hypothetical: VPU free)",
         ]
         if measured:
             lines.append(
                 f"  measured           : {measured:>12,.0f} elem/s = "
                 f"{measured / self.mxu_bound():.0%} of MXU SoL, "
-                f"{measured / self.overlap_bound():.0%} of overlap "
+                f"{measured / self.serial_bound():.0%} of serial "
                 "envelope")
         return "\n".join(lines)
 
