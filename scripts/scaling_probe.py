@@ -43,13 +43,19 @@ from paillier_tpu.threshold.decrypt import compute_lambda, partial_decrypt
 from paillier_tpu.threshold.keygen import generate_threshold_keys
 
 
-def timeit(fn, iters=3):
+def timeit(fn, iters=10):
+    """Min over ``iters`` timed calls: the seams cost single-digit
+    milliseconds on the virtual mesh, so a mean-of-3 was dominated by
+    scheduler jitter on the oversubscribed CPU (r4: one 17 ms outlier
+    turned the efficiency metric into noise)."""
     fn()
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn()
-    jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
-    return (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 rng = random.Random(0x5CA1E)
