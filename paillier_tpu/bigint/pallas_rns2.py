@@ -31,24 +31,17 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
-
 from .rns2 import (CHUNK, I1_ENTRY, I1_ONE, I1_ONEM, I2_ENTRY, I2_ONE,
                    I2_ONEM, Rns2Context, _dot_i8, rns2_mont_mul_pair)
 
 # Sliding-kernel odd-power table dtype: int16 halves VMEM (bigger batch
-# blocks) at the cost of a widening cast per conditional multiply.
-# PAILLIER_TPU_TBL32=1 stores int32 instead (measured ablation knob).
-_TBL_DTYPE = (jnp.int32 if os.environ.get("PAILLIER_TPU_TBL32") == "1"
-              else jnp.int16)
-
-# PAILLIER_TPU_SPLIT2=1: process each ladder step as two independent
-# half-block chains so the scheduler can overlap one half's MXU dots
-# with the other half's VPU reductions (measured ablation knob).
-# PAILLIER_TPU_PIPE2=1: same two-half split but with the multiply
-# stages explicitly interleaved (rns2_mont_mul_pair2).
-_SPLIT2 = os.environ.get("PAILLIER_TPU_SPLIT2") == "1"
-_PIPE2 = os.environ.get("PAILLIER_TPU_PIPE2") == "1"
+# blocks) at the cost of a widening cast per conditional multiply.  Lazy
+# residues fit exactly: signed near-canonical values in (-m-820, m+820)
+# with m + 820 < 2^14.  (The r3/r4 _SPLIT2/_PIPE2/_TBL32 overlap knobs
+# were deleted after the r4 knockout ablations killed the MXU/VPU
+# overlap hypothesis — kernel time is issue-bound, MXU and VPU share
+# one issue stream; the negative results live in PERF.md.)
+_TBL_DTYPE = jnp.int16
 
 
 def _ctx_from_refs(ic1, ic2, f1, f2, e1g, e2g):
@@ -227,51 +220,19 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
     acc1[...] = tbl1[d0].astype(jnp.int32)
     acc2[...] = tbl2[d0].astype(jnp.int32)
 
-    h = (x1.shape[0] // 2
-         if ((_SPLIT2 or _PIPE2) and x1.shape[0] % 16 == 0) else None)
-
-    def mmul2(A, B):
-        if _PIPE2:
-            from .rns2 import rns2_mont_mul_pair2
-            return rns2_mont_mul_pair2(ctx, A, A, B, B, lazy=True)
-        return mmul(A, A), mmul(B, B)
-
-    def mmul2t(A, tA, B, tB):
-        if _PIPE2:
-            from .rns2 import rns2_mont_mul_pair2
-            return rns2_mont_mul_pair2(ctx, A, tA, B, tB, lazy=True)
-        return mmul(A, tA), mmul(B, tB)
-
     def step(i, carry):
         d = sched_ref[0, i]
-        if h is None:
-            w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
-            acc1[...], acc2[...] = w
-        else:
-            # two independent half-block chains per step: one half's VPU
-            # stages can hide behind the other half's MXU dots
-            wA, wB = mmul2((acc1[:h], acc2[:h]), (acc1[h:], acc2[h:]))
-            acc1[:h], acc2[:h] = wA
-            acc1[h:], acc2[h:] = wB
+        w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
+        acc1[...], acc2[...] = w
 
         @pl.when(d >= 0)
         def _():
             idx = jnp.maximum(d, 0)
-            if h is None:
-                t = (tbl1[idx].astype(jnp.int32),
-                     tbl2[idx].astype(jnp.int32))
-                w2 = mmul((acc1[...], acc2[...]), t)
-                acc1[...] = w2[0]
-                acc2[...] = w2[1]
-            else:
-                tA = (tbl1[idx, :h].astype(jnp.int32),
-                      tbl2[idx, :h].astype(jnp.int32))
-                tB = (tbl1[idx, h:].astype(jnp.int32),
-                      tbl2[idx, h:].astype(jnp.int32))
-                w2A, w2B = mmul2t((acc1[:h], acc2[:h]), tA,
-                                  (acc1[h:], acc2[h:]), tB)
-                acc1[:h], acc2[:h] = w2A
-                acc1[h:], acc2[h:] = w2B
+            t = (tbl1[idx].astype(jnp.int32),
+                 tbl2[idx].astype(jnp.int32))
+            w2 = mmul((acc1[...], acc2[...]), t)
+            acc1[...] = w2[0]
+            acc2[...] = w2[1]
 
         return carry
 
@@ -302,7 +263,7 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
     T = 1 << (window - 1)
     if block is None:
         budget = VMEM_LIMIT - (12 << 20)
-        tbl_b = 2 if _TBL_DTYPE == jnp.int16 else 4
+        tbl_b = 2                             # int16 odd-power table
         # odd-power table (T entries x 2 bases x k lanes) + ~16 live
         # int32 [blk, k] temporaries.  Bigger blocks stream more rows
         # per MXU weight load: 1024 measured 72.5ms vs 512's 74.0ms on
@@ -405,9 +366,14 @@ def rns2_pow_fixed_base_pallas(ctx: Rns2Context, table: jnp.ndarray,
     C = table.shape[-1]
     k = C // 2
     T = 1 << window
-    blk = block or max(8, min(1024, B))
-    while B % blk:
-        blk -= 8
+    # largest multiple-of-8 divisor of B up to 1024; batches with no such
+    # divisor (B not a multiple of 8) fall back to one block of B rows
+    # (the old `while B % blk: blk -= 8` loop decremented to 0 for those
+    # and division-crashed; ADVICE r4)
+    blk = block
+    if blk is None:
+        blk = next((c for c in range(min(1024, B), 7, -8)
+                    if B % c == 0 and c % 8 == 0), B)
 
     # chunked one-hot-gatherable layout: [D, T, 4q] int8 with the four
     # column groups (b1 lo | b1 hi | b2 lo | b2 hi) each at a 128-aligned

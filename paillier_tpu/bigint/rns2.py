@@ -104,16 +104,21 @@ NI2 = 5
 
 # Cox bias.  With the signed lazy digit mix (_red_fast on possibly
 # negative inputs) the B2 digit vector sg represents w + t*M2' where the
-# underlying integer drift t can be NEGATIVE with |t| <= k*2^7 (each
-# channel's representative deviates by at most ~m'_j*2^7/2^7... bounded
-# by one m'_j, and the ext1 digit inflation adds < 2^7 per channel), so
-# the cox fraction can sit just BELOW an integer: exactness requires
-#   COX_EPS  >  max|t| * N / M2  +  f32-tree-sum error
-# where max|t|*N/M2 <= k*2^7*N/M2 <= 2^7/(8*2^10) = 1/64 (from
-# M2 >= 8*lambda*N, lambda = k*2^10) and the f32 error is < 2e-3 for
-# k <= 1024.  0.05 > 1/64 + 2e-3; the headroom on the other side
-# (true frac + eps < 1) holds since the true fraction is <= 1/8.
-# Statically asserted against the concrete spec in Rns2Spec.__init__.
+# underlying integer drift t can be NEGATIVE, so the cox fraction can
+# sit just BELOW an integer: exactness requires
+#   COX_EPS  >  max|t| * N / M2  +  f32-tree-sum error.
+# Per-channel deviation bound (ADVICE r4: derived from the actual
+# _red_fast/ext1 ranges, not the optimistic 2^7): the first-extension
+# digit combine inflates per-channel values to < 2^22, i.e. < 2^8.2
+# units of m'_j ~ 2^13.9, and the _red_fast bias adds < 1 more unit —
+# bounded by 2^8 per channel after the digit reduction re-centers, so
+# |t| <= k*2^8.  max|t|*N/M2 <= k*2^8*N/M2 <= 2^8/(8*2^10) = 1/32
+# (from M2 >= 8*lambda*N, lambda = k*2^10) and the f32 tree-sum error
+# is < 2e-3 for k <= 1024.  0.05 > 1/32 + 2e-3 = 0.0333; the headroom
+# on the other side (true frac + drift + eps < 1) holds since the true
+# fraction is <= 1/8.  Statically checked against the concrete spec in
+# Rns2Spec.__init__ (a real exception, not an assert — the guard
+# protects against silent numerical corruption and must survive -O).
 COX_EPS = 0.05
 
 
@@ -177,13 +182,21 @@ class Rns2Spec:
             k += 64
         # COX_EPS soundness under the signed-digit lazy mix (see the
         # COX_EPS comment): eps must dominate the drift + f32 sum error
-        # while true_frac(1/8) + drift + eps stays below 1.
-        drift = (k * 128 * n_modulus) / M2
+        # while true_frac(1/8) + drift + eps stays below 1.  Real
+        # exceptions, not asserts: these guard against silent numerical
+        # corruption (wrong cox alpha -> wrong residues) and must
+        # survive ``python -O`` (ADVICE r4).  Drift bound k*2^8 from
+        # the measured _red_fast/ext1 per-channel deviation ranges.
+        drift = (k * 256 * n_modulus) / M2
         f32_err = 2e-3
-        assert COX_EPS > drift + f32_err, (
-            f"COX_EPS={COX_EPS} too small for k={k}: drift bound "
-            f"{drift:.4f} + f32 error {f32_err}")
-        assert 0.125 + drift + COX_EPS < 1.0
+        if COX_EPS <= drift + f32_err:
+            raise ValueError(
+                f"COX_EPS={COX_EPS} too small for k={k}: drift bound "
+                f"{drift:.4f} + f32 error {f32_err}")
+        if 0.125 + drift + COX_EPS >= 1.0:
+            raise ValueError(
+                f"cox fraction headroom violated for k={k}: "
+                f"1/8 + {drift:.4f} + {COX_EPS} >= 1")
         self.k = k
         self.C = 2 * k
         self.b1, self.b2 = b1, b2
@@ -368,11 +381,11 @@ def _red_fast(v, m, inv_m):
 # digits bite: each per-channel deviation delta_j shifts the alpha sum
 # by exactly delta_j (integer part — removed exactly by the alpha
 # correction), BUT the underlying integer the digit vector represents
-# becomes w0 + t*N with t possibly NEGATIVE (|t| <= k*2^7), so the cox
+# becomes w0 + t*N with t possibly NEGATIVE (|t| <= k*2^8), so the cox
 # fraction can wrap toward 1 - |t|*N/M2.  Exactness of
 # floor(sum + COX_EPS) therefore silently depends on
-# COX_EPS > k*2^7*N/M2 + f32-sum error — see the COX_EPS comment and
-# the static assert in Rns2Spec.__init__ (ADVICE r3).
+# COX_EPS > k*2^8*N/M2 + f32-sum error — see the COX_EPS comment and
+# the static check in Rns2Spec.__init__ (ADVICE r3/r4).
 _red_digit_lazy = _red_fast      # s1 / sg (chunked into int8 digits)
 _red_out_lazy = _red_lazy        # s2 / w1 (residue outputs)
 
@@ -497,27 +510,6 @@ def rns2_mont_mul_pair(ctx: Rns2Context, x, y, lazy: bool = False):
     V = _mm_ext2(ctx, lhs2)
     w1 = _mm_finish(ctx, V, sg, lazy)
     return w1, sg
-
-
-def rns2_mont_mul_pair2(ctx: Rns2Context, xa, ya, xb, yb,
-                        lazy: bool = True):
-    """TWO independent Montgomery multiplies with their stages
-    software-pipelined: each MXU extension of one multiply is adjacent
-    in program order to the other multiply's VPU stages, giving the
-    Mosaic scheduler explicit independent work to overlap the units
-    (the single-chain ladder runs MXU and VPU nearly serially).
-    Bit-identical to two rns2_mont_mul_pair calls."""
-    lhs1a, s2a = _mm_lhs1(ctx, xa, ya, lazy)
-    Pa = _mm_ext1(ctx, lhs1a)                        # MXU A1
-    lhs1b, s2b = _mm_lhs1(ctx, xb, yb, lazy)         # VPU B  (|| MXU A1)
-    Pb = _mm_ext1(ctx, lhs1b)                        # MXU B1
-    lhs2a, sga = _mm_lhs2(ctx, Pa, s2a, lazy)        # VPU A  (|| MXU B1)
-    Va = _mm_ext2(ctx, lhs2a)                        # MXU A2
-    lhs2b, sgb = _mm_lhs2(ctx, Pb, s2b, lazy)        # VPU B  (|| MXU A2)
-    Vb = _mm_ext2(ctx, lhs2b)                        # MXU B2
-    w1a = _mm_finish(ctx, Va, sga, lazy)             # VPU A  (|| MXU B2)
-    w1b = _mm_finish(ctx, Vb, sgb, lazy)
-    return (w1a, sga), (w1b, sgb)
 
 
 def _split(ctx: Rns2Context, x):

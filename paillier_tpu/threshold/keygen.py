@@ -65,8 +65,16 @@ class ThresholdKeyGenerator:
         p = 2*p1 + 1, q = 2*q1 + 1 (e.g. precomputed fixtures, so a
         benchmark measures decryption rather than prime-search luck).
         The polynomial/share/verification-key steps are identical to
-        :meth:`generate` (thresholdkey_generator.go:177-278)."""
-        assert p == 2 * p1 + 1 and q == 2 * q1 + 1
+        :meth:`generate` (thresholdkey_generator.go:177-278).
+
+        Caller-supplied primes are fully validated (structure AND
+        primality): a bad fixture would otherwise yield a silently
+        insecure/incorrect threshold key (ADVICE r4)."""
+        from .safe_prime import is_safe_prime
+        if p != 2 * p1 + 1 or q != 2 * q1 + 1:
+            raise ValueError("primes must satisfy p = 2*p1+1, q = 2*q1+1")
+        if not (is_safe_prime(p) and is_safe_prime(q)):
+            raise ValueError("p and q must be safe primes")
         n = p * q
         m = p1 * q1
         nm = n * m

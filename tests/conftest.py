@@ -20,9 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: most test wall-time is XLA compiles of the
 # modexp kernels; cache them across runs so repeat suites are fast.
+# Scope it to the EXPENSIVE compiles only (>= 2 s, >= 64 KiB): r4's full
+# suite segfaulted inside the cache writer (put_executable_and_time ->
+# zstandard) with min_entry_size 0, which maximized write exposure by
+# persisting thousands of trivial entries (VERDICT r4 weak #8).
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 64 * 1024)
 
 import random
 
