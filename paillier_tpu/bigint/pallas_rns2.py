@@ -182,16 +182,28 @@ def rns2_pow_pallas(ctx: Rns2Context, x: jnp.ndarray, digits: jnp.ndarray,
 # Shared-exponent sliding-window kernel (odd-power int16 table)
 # ---------------------------------------------------------------------------
 
-def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
-                    f2_ref, e1g_ref, e2g_ref,
-                    o1_ref, o2_ref, acc1, acc2, tbl1, tbl2, *,
-                    window, n_steps):
+def _sliding_kernel(sched_ref, x1_ref, x2_ref, *refs,
+                    window, n_steps, fused):
     """One batch block runs the whole sliding-window ladder with the
     odd-power table resident in VMEM as int16 by default (lazy residues
     fit: signed near-canonical values in (-m-820, m+820) with
     m + 820 < 2^14, so int16 holds them exactly).  The accumulator
     lives in int32 scratch so the conditional multiply is a predicated
-    ref update."""
+    ref update.
+
+    With ``fused``, two extra per-element inputs (fin1, fin2) replace
+    the constant ``one`` in the exit multiply: the ladder's mandatory
+    final Montgomery multiply (Montgomery -> standard form) computes
+    x^e * fin mod N for free — encryption fuses G^m there instead of
+    paying a separate eng.mul dispatch (VERDICT r4 #1a).  The schedule
+    supports a skip sentinel: step -2 is a no-op (so multiple schedule
+    lengths can share one padded buffer), -1 squares only, d >= 0
+    squares then multiplies by table[d]."""
+    if fused:
+        fin1_ref, fin2_ref = refs[:2]
+        refs = refs[2:]
+    (ic1_ref, ic2_ref, f1_ref, f2_ref, e1g_ref, e2g_ref,
+     o1_ref, o2_ref, acc1, acc2, tbl1, tbl2) = refs
     ctx = _ctx_from_refs(ic1_ref, ic2_ref, f1_ref, f2_ref,
                          e1g_ref, e2g_ref)
     x1 = x1_ref[...]
@@ -222,8 +234,11 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
 
     def step(i, carry):
         d = sched_ref[0, i]
-        w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
-        acc1[...], acc2[...] = w
+
+        @pl.when(d >= -1)            # -2 = skip (schedule pad sentinel)
+        def _():
+            w = mmul((acc1[...], acc2[...]), (acc1[...], acc2[...]))
+            acc1[...], acc2[...] = w
 
         @pl.when(d >= 0)
         def _():
@@ -237,7 +252,8 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
         return carry
 
     lax.fori_loop(1, n_steps + 1, step, 0)
-    o1, o2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), one)
+    fin = (fin1_ref[...], fin2_ref[...]) if fused else one
+    o1, o2 = rns2_mont_mul_pair(ctx, (acc1[...], acc2[...]), fin)
     o1_ref[...] = o1
     o2_ref[...] = o2
 
@@ -247,12 +263,18 @@ def _sliding_kernel(sched_ref, x1_ref, x2_ref, ic1_ref, ic2_ref, f1_ref,
 def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                             sched: jnp.ndarray, window: int = 6,
                             block: int | None = None,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            fin: jnp.ndarray | None = None) -> jnp.ndarray:
     """Shared-exponent power via a sliding-window schedule (the hot
     r^(n^s) ladder, reference paillier.go:213-216).
 
     x: int32 [B, C] (or [C]) standard residues; sched: int32 [1+S] from
     rns2.sliding_window_schedule.  Bit-exact with rns2_pow_sliding_jnp.
+
+    ``fin`` (optional, int32 [B, C] canonical residues) is multiplied
+    into the result BY THE LADDER'S EXIT MULTIPLY — the mandatory
+    Montgomery->standard final multiply computes x^e * fin at zero
+    extra cost (encryption's G^m fusion; VERDICT r4 #1a).
     """
     squeeze = x.ndim == 1
     if squeeze:
@@ -284,13 +306,21 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                                   memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((blk, k), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_sliding_kernel, window=window, n_steps=S)
+    fused = fin is not None
+    fin_ops, fin_specs = (), ()
+    if fused:
+        if fin.ndim == 1:
+            fin = jnp.broadcast_to(fin, (B, C))
+        fin_ops = (fin[:, :k], fin[:, k:])
+        fin_specs = (xspec, xspec)
+    kernel = functools.partial(_sliding_kernel, window=window, n_steps=S,
+                               fused=fused)
     o1, o2 = pl.pallas_call(
         kernel,
         grid=(B // blk,),
         in_specs=[pl.BlockSpec((1, S + 1), lambda b: (0, 0),
                                memory_space=pltpu.SMEM),
-                  xspec, xspec,
+                  xspec, xspec, *fin_specs,
                   full(ctx.ic1), full(ctx.ic2), full(ctx.f1), full(ctx.f2),
                   full(ctx.e1g), full(ctx.e2g)],
         out_specs=(xspec, xspec),
@@ -302,7 +332,7 @@ def rns2_pow_sliding_pallas(ctx: Rns2Context, x: jnp.ndarray,
                         pltpu.VMEM((T, blk, k), _TBL_DTYPE)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(sched_arr, x1, x2, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
+    )(sched_arr, x1, x2, *fin_ops, ctx.ic1, ctx.ic2, ctx.f1, ctx.f2,
       ctx.e1g, ctx.e2g)
     out = jnp.concatenate([o1, o2], axis=-1)
     return out[0] if squeeze else out

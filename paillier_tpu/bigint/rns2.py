@@ -517,6 +517,28 @@ def _split(ctx: Rns2Context, x):
     return x[..., :k], x[..., k:]
 
 
+def rns2_one_plus_mul(ctx: Rns2Context, x, crow):
+    """(1 + x*c) mod N as canonical residues, per-channel.
+
+    ``x``: canonical [..., C] residues (B2 half sigma-form, as stored);
+    ``crow``: int32 [C] TRUE-form residues of a host constant c (both
+    halves unscaled — the sigma factor of the B2 output is inherited
+    from x, and the "+1" enters via the stored sigma-form one I2_ONE).
+    Ranges: x < 2^14, crow < 2^14 -> products < 2^28, safely inside
+    :func:`_red`'s exactness domain.
+
+    This is encryption's G^m shortcut in residue space: gm = 1 + m*n
+    (level 1) costs one multiply-add and one exact reduction per
+    channel — no limb-domain Toeplitz multiply and no extra
+    limb->residue conversion of the product (VERDICT r4 #1a)."""
+    k = ctx.k
+    x1, x2 = x[..., :k], x[..., k:]
+    c1, c2 = crow[..., :k], crow[..., k:]
+    g1 = _red(x1 * c1 + 1, ctx.ic1[I1_M], ctx.f1[0])
+    g2 = _red(x2 * c2 + ctx.ic2[I2_ONE], ctx.ic2[I2_M], ctx.f2[0])
+    return jnp.concatenate([g1, g2], axis=-1)
+
+
 def rns2_mont_mul_values(ctx: Rns2Context, x, y, lazy: bool = False):
     """Full-width [..., C] wrapper around the pair core (jnp paths)."""
     w1, w2 = rns2_mont_mul_pair(ctx, _split(ctx, x), _split(ctx, y), lazy)
@@ -616,12 +638,15 @@ def sliding_window_schedule(e: int, window: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def rns2_pow_sliding_jnp(ctx: Rns2Context, x, sched, window: int = 6):
+def rns2_pow_sliding_jnp(ctx: Rns2Context, x, sched, window: int = 6,
+                         fin=None):
     """Shared-exponent power via a sliding-window schedule (CPU path).
 
     x: [..., C] standard-form residues; sched: int32 [1+S] from
-    :func:`sliding_window_schedule`.  Output matches rns2_pow bit-exactly
-    (canonical residues < lambda*N).
+    :func:`sliding_window_schedule` (sentinels: -2 skip, -1 square
+    only, d >= 0 square+multiply).  Output matches rns2_pow bit-exactly
+    (canonical residues < lambda*N).  ``fin`` (canonical [..., C]
+    residues) rides the exit multiply: returns x^e * fin mod N.
     """
     entry = jnp.concatenate([ctx.ic1[I1_ENTRY], ctx.ic2[I2_ENTRY]])
     one = jnp.concatenate([ctx.ic1[I1_ONE], ctx.ic2[I2_ONE]])
@@ -638,28 +663,31 @@ def rns2_pow_sliding_jnp(ctx: Rns2Context, x, sched, window: int = 6):
     acc0 = jnp.take(tbl, sched[0], axis=0)
 
     def body(acc, d):
-        acc = rns2_mont_mul_values(ctx, acc, acc, lazy=True)
-        acc = lax.cond(
-            d >= 0,
-            lambda a: rns2_mont_mul_values(
-                ctx, a, jnp.take(tbl, jnp.maximum(d, 0), axis=0),
-                lazy=True),
-            lambda a: a,
-            acc)
-        return acc, None
+        def active(a):
+            a = rns2_mont_mul_values(ctx, a, a, lazy=True)
+            return lax.cond(
+                d >= 0,
+                lambda b: rns2_mont_mul_values(
+                    ctx, b, jnp.take(tbl, jnp.maximum(d, 0), axis=0),
+                    lazy=True),
+                lambda b: b,
+                a)
+        return lax.cond(d >= -1, active, lambda a: a, acc), None
 
     acc, _ = lax.scan(body, acc0, sched[1:])
-    return rns2_mont_mul_values(ctx, acc, jnp.broadcast_to(one, acc.shape))
+    last = jnp.broadcast_to(one, acc.shape) if fin is None else fin
+    return rns2_mont_mul_values(ctx, acc, last)
 
 
-def rns2_pow_sliding(ctx: Rns2Context, x, sched, window: int = 6):
+def rns2_pow_sliding(ctx: Rns2Context, x, sched, window: int = 6,
+                     fin=None):
     """Dispatcher: fused Pallas kernel on TPU, jnp scan elsewhere."""
     if jax.default_backend() != "cpu":
         from ..config import get_config
         from .pallas_rns2 import rns2_pow_sliding_pallas
         return rns2_pow_sliding_pallas(ctx, x, sched, window,
-                                       block=get_config().block)
-    return rns2_pow_sliding_jnp(ctx, x, sched, window)
+                                       block=get_config().block, fin=fin)
+    return rns2_pow_sliding_jnp(ctx, x, sched, window, fin=fin)
 
 
 # ---------------------------------------------------------------------------
@@ -904,18 +932,22 @@ class Rns2Engine:
     def pow(self, x, digits, window: int = 4):
         return rns2_pow(self.ctx, x, digits, window)
 
-    def pow_shared(self, x, e: int, window: int | None = None):
+    def pow_shared(self, x, e: int, window: int | None = None, fin=None):
         """x^e for a host-known shared exponent via the sliding-window
         odd-power ladder — ~8% fewer Montgomery multiplies than the
         fixed window-4 ladder on 2048-bit exponents (the r^(n^s) /
-        c^lambda hot paths).  Window defaults to Config.sliding_window."""
+        c^lambda hot paths).  Window defaults to Config.sliding_window.
+
+        ``fin`` (canonical residues) is fused into the ladder's exit
+        multiply: returns x^e * fin mod N at zero extra multiplies."""
         from ..config import get_config
         if window is None:
             window = get_config().sliding_window
         if e == 0:
             one = jnp.concatenate([self.ctx.ic1[I1_ONE],
                                    self.ctx.ic2[I2_ONE]])
-            return jnp.broadcast_to(one, x.shape)
+            out = jnp.broadcast_to(one, x.shape)
+            return out if fin is None else self.mul(out, fin)
         key = (e, window)
         sched = self._sched_cache.get(key)
         if sched is None:
@@ -923,4 +955,5 @@ class Rns2Engine:
             # trace are tracers and must not outlive the trace
             sched = sliding_window_schedule(e, window)
             self._sched_cache[key] = sched
-        return rns2_pow_sliding(self.ctx, x, jnp.asarray(sched), window)
+        return rns2_pow_sliding(self.ctx, x, jnp.asarray(sched), window,
+                                fin=fin)

@@ -99,6 +99,26 @@ def encrypt_with_r_rns_kernel(dk: DeviceKey, eng, m: jnp.ndarray,
     return dk._widen(eng.to_limbs_mod(c_rns), level)
 
 
+def encrypt_with_r_rns_fused_kernel(dk: DeviceKey, eng, nrow: jnp.ndarray,
+                                    m: jnp.ndarray, r: jnp.ndarray,
+                                    ns_exp: int) -> jnp.ndarray:
+    """Level-1 RNS fast path with G^m fused into the ladder (r5).
+
+    G^m = 1 + m*n is computed directly in residue space (one
+    multiply-add + reduction per channel; rns2.rns2_one_plus_mul) and
+    multiplied into r^n by the ladder's mandatory exit multiply — the
+    separate eng.mul dispatch, the limb-domain Toeplitz const-mul and
+    the extra limb->residue conversion of the old path all disappear.
+    Bit-identical to encrypt_with_r_rns_kernel (and to the reference:
+    paillier.go:206-218)."""
+    from ..bigint.rns2 import rns2_one_plus_mul
+    L = dk.L
+    m_wide = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, L)])  # width 2L
+    gm = rns2_one_plus_mul(eng.ctx, eng.from_limbs(m_wide), nrow)
+    c_rns = eng.pow_shared(eng.from_limbs(r), ns_exp, fin=gm)
+    return dk._widen(eng.to_limbs_mod(c_rns), LEVEL_ONE)
+
+
 def alt_encrypt_with_r_kernel(dk: DeviceKey, m: jnp.ndarray,
                               r_digits: jnp.ndarray, level: int,
                               window: int = 4) -> jnp.ndarray:
@@ -159,10 +179,22 @@ class Encryptor:
             if cache_key not in self.dk.jit_cache:
                 ns = pk.n ** s
                 if engine == "rns":
+                    from ..bigint.rns2 import Rns2Engine
                     eng = self.dk.rns(level)
-                    self.dk.jit_cache[cache_key] = jax.jit(
-                        lambda m, r: encrypt_with_r_rns_kernel(
-                            self.dk, eng, m, r, level, ns, window))
+                    if level == LEVEL_ONE and isinstance(eng, Rns2Engine):
+                        # G^m fused into the ladder's exit multiply
+                        spec = eng.spec
+                        with jax.ensure_compile_time_eval():
+                            nrow = jnp.asarray(np.asarray(
+                                [pk.n % mi for mi in spec.b1 + spec.b2],
+                                dtype=np.int32))
+                        self.dk.jit_cache[cache_key] = jax.jit(
+                            lambda m, r: encrypt_with_r_rns_fused_kernel(
+                                self.dk, eng, nrow, m, r, ns))
+                    else:
+                        self.dk.jit_cache[cache_key] = jax.jit(
+                            lambda m, r: encrypt_with_r_rns_kernel(
+                                self.dk, eng, m, r, level, ns, window))
                 else:
                     nd = mont.n_digits_for_bits(ns.bit_length(), window)
                     ns_digits = jnp.asarray(mont.exp_digits(ns, window, nd))

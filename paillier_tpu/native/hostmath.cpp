@@ -226,13 +226,22 @@ int pt_mulmod(const uint8_t *a, size_t al, const uint8_t *b, size_t bl,
 
 // Batched modular inverse: out[i*ml..] = a_i^{-1} mod m.  Returns the
 // number of non-invertible elements (their outputs are zeroed), or -1 on
-// a zero modulus.  Threaded the same way as pt_powm_batch; used for the
-// per-proof inverse batches in DDLEQ/threshold combining (reference
-// computes these one ModInverse at a time, ddleq.go:96, thresholdkey.go:132).
+// a zero modulus.  Used for the per-proof inverse batches in
+// DDLEQ/threshold combining (reference computes these one ModInverse at
+// a time, ddleq.go:96, thresholdkey.go:132).
+//
+// Each thread runs Montgomery's batch-inversion trick on a contiguous
+// chunk: ONE mpz_invert plus 3*(chunk-1) modular multiplies replaces
+// chunk mpz_inverts — ~8x fewer host cycles at 4096-bit moduli (r5;
+// the per-element loop held the threshold flow's host stage at ~110 ms
+// per 4096-batch).  If a chunk's total product is not invertible (some
+// element shares a factor with m), that chunk alone falls back to the
+// per-element path to identify and zero the bad entries.
 long pt_modinv_batch(const uint8_t *as, size_t n, size_t stride,
                      const uint8_t *m, size_t ml, uint8_t *out,
                      int n_threads) {
   if (n_threads < 1) n_threads = 1;
+  if ((size_t)n_threads > n) n_threads = (int)(n ? n : 1);
   {
     mpz_t zm;
     __gmpz_init(zm);
@@ -241,32 +250,67 @@ long pt_modinv_batch(const uint8_t *as, size_t n, size_t stride,
     __gmpz_clear(zm);
     if (zero) return -1;
   }
-  std::atomic<size_t> next(0);
   std::atomic<long> bad(0);
-  auto worker = [&]() {
-    mpz_t za, zm, zr;
-    __gmpz_init(za);
+  auto worker = [&](size_t lo, size_t hi) {
+    size_t cnt = hi - lo;
+    if (cnt == 0) return;
+    mpz_t zm, za, inv, t;
     __gmpz_init(zm);
-    __gmpz_init(zr);
+    __gmpz_init(za);
+    __gmpz_init(inv);
+    __gmpz_init(t);
     import_be(zm, m, ml);
-    for (;;) {
-      size_t i = next.fetch_add(1);
-      if (i >= n) break;
-      import_be(za, as + i * stride, stride);
-      if (__gmpz_invert(zr, za, zm)) {
-        export_be(out + i * ml, ml, zr);
-      } else {
-        std::memset(out + i * ml, 0, ml);
-        bad.fetch_add(1);
+    // prefix[j] = a_lo * ... * a_{lo+j} mod m  (mpz_t is an array type,
+    // so the vector holds the underlying structs)
+    std::vector<__mpz_struct> pre(cnt);
+    for (size_t j = 0; j < cnt; ++j) __gmpz_init(&pre[j]);
+    import_be(&pre[0], as + lo * stride, stride);
+    __gmpz_mod(&pre[0], &pre[0], zm);
+    for (size_t j = 1; j < cnt; ++j) {
+      import_be(za, as + (lo + j) * stride, stride);
+      __gmpz_mul(t, &pre[j - 1], za);
+      __gmpz_mod(&pre[j], t, zm);
+    }
+    if (__gmpz_invert(inv, &pre[cnt - 1], zm)) {
+      // unwind: out_j = inv_running * prefix[j-1]; inv_running *= a_j
+      for (size_t j = cnt; j-- > 0;) {
+        if (j > 0) {
+          __gmpz_mul(t, inv, &pre[j - 1]);
+          __gmpz_mod(t, t, zm);
+          export_be(out + (lo + j) * ml, ml, t);
+        } else {
+          export_be(out + lo * ml, ml, inv);
+        }
+        import_be(za, as + (lo + j) * stride, stride);
+        __gmpz_mul(t, inv, za);
+        __gmpz_mod(inv, t, zm);
+      }
+    } else {
+      // rare: some element not invertible — per-element fallback
+      for (size_t j = 0; j < cnt; ++j) {
+        import_be(za, as + (lo + j) * stride, stride);
+        if (__gmpz_invert(t, za, zm)) {
+          export_be(out + (lo + j) * ml, ml, t);
+        } else {
+          std::memset(out + (lo + j) * ml, 0, ml);
+          bad.fetch_add(1);
+        }
       }
     }
-    __gmpz_clear(za);
+    for (size_t j = 0; j < cnt; ++j) __gmpz_clear(&pre[j]);
     __gmpz_clear(zm);
-    __gmpz_clear(zr);
+    __gmpz_clear(za);
+    __gmpz_clear(inv);
+    __gmpz_clear(t);
   };
   std::vector<std::thread> ts;
-  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
-  worker();
+  size_t per = (n + n_threads - 1) / n_threads;
+  for (int tix = 1; tix < n_threads; ++tix) {
+    size_t lo = (size_t)tix * per;
+    size_t hi = lo + per < n ? lo + per : n;
+    if (lo < hi) ts.emplace_back(worker, lo, hi);
+  }
+  worker(0, per < n ? per : n);
   for (auto &th : ts) th.join();
   return bad.load();
 }

@@ -243,6 +243,35 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
                       e=shape(e), f=shape(f))
 
 
+def pipeline_prove_verify(sk: SecretKey, jobs, secpar: int,
+                          window: int = 4, mesh=None, workers: int = 2,
+                          verify_pk: PublicKey | None = None):
+    """Prove+verify a stream of chunks with chunk i's HOST work (native
+    inverses, digit packing, decode/encode) overlapped against chunk
+    i±1's device ladders (VERDICT r4 #2: the serial chunk loop held
+    DDLEQ to ~50% of its MXU bound with host Fiat-Shamir packing in
+    the timing path).
+
+    ``jobs`` is an iterable of (ct1, ct2, a_list, b_list, rng) chunk
+    tuples.  Two worker threads are enough: JAX dispatch is async, so
+    while one thread blocks on a device readback or runs GMP inverses
+    (which release the GIL), the other thread's dispatched ladders keep
+    the chip busy.  Every compiled kernel must already be warm (run one
+    chunk serially first) — concurrent first-compiles would race the
+    jit cache.  Yields one List[bool] of per-proof verdicts per chunk,
+    in order."""
+    from concurrent.futures import ThreadPoolExecutor
+    pk = verify_pk or sk.public()
+
+    def one(job):
+        ct1, ct2, a_l, b_l, rng = job
+        proof = prove(sk, ct1, ct2, a_l, b_l, secpar, rng, window, mesh)
+        return verify(pk, ct1, ct2, proof, window, mesh)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        yield from ex.map(one, jobs)
+
+
 def verify(pk: PublicKey, ct1: Ciphertext, ct2: Ciphertext,
            proof: DDLEQProof, window: int = 4, mesh=None) -> List[bool]:
     """VerifyDDLEQProof (ddleq.go:44-53, 129-153), batched on device.

@@ -57,6 +57,30 @@ def test_modinv_gcd_mulmod_parity():
             assert native.modinv(a, m) == want
 
 
+def test_modinv_batch_montgomery_trick():
+    """r5 chunked Montgomery batch inversion: parity with pow(-1) for
+    invertible batches, correct bad-element reporting via the
+    per-element fallback, thread-count independence."""
+    rng = random.Random(0xBA7C4)
+    m = 0
+    while True:        # an odd semiprime-ish modulus with small factor 7
+        p = rng.getrandbits(200) | (1 << 199) | 1
+        if host.is_probable_prime(p):
+            break
+    m = 7 * p
+    vals = [rng.randrange(1, m) for _ in range(57)]
+    vals = [v if math.gcd(v, m) == 1 else v + 1 for v in vals]
+    vals = [v if math.gcd(v, m) == 1 else 11 for v in vals]
+    want = [pow(v, -1, m) for v in vals]
+    assert native.modinv_batch(vals, m) == want
+    assert native.modinv_batch(vals, m, threads=1) == want
+    assert native.modinv_batch(vals, m, threads=5) == want
+    # a multiple of 7 is not invertible -> ValueError (counted via the
+    # chunk fallback path)
+    with pytest.raises(ValueError):
+        native.modinv_batch(vals[:10] + [7 * 13] + vals[10:], m)
+
+
 def test_probab_prime():
     known_primes = [2, 3, 5, 7919, (1 << 127) - 1, (1 << 521) - 1]
     known_composites = [1, 4, 561, 1105, (1 << 127) - 3, (1 << 256) + 1]

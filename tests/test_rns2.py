@@ -169,6 +169,75 @@ def test_pallas_fixed_base_kernel_interpret(eng256):
     assert eng.decode(out) == [pow(base, e, n) for e in es]
 
 
+def test_sliding_fused_final_multiplicand(eng256):
+    """The fin operand rides the ladder's exit multiply: x^e * fin mod n
+    (encryption's G^m fusion, r5) — jnp path, pallas interpret path,
+    and the -2 skip sentinel all bit-exact vs Python pow."""
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_sliding_pallas
+    from paillier_tpu.bigint.rns2 import (rns2_pow_sliding_jnp,
+                                          sliding_window_schedule)
+    n, eng = eng256
+    xs = [random.randrange(n) for _ in range(8)]
+    fs = [random.randrange(n) for _ in range(8)]
+    fin = eng.encode(fs)
+    e = random.getrandbits(150) | (1 << 149)
+    want = [pow(x, e, n) * f % n for x, f in zip(xs, fs)]
+    sched = jnp.asarray(sliding_window_schedule(e, 5))
+    out = rns2_pow_sliding_jnp(eng.ctx, eng.encode(xs), sched, 5, fin=fin)
+    assert eng.decode(out) == want
+    out = rns2_pow_sliding_pallas(eng.ctx, eng.encode(xs), sched, 5,
+                                  block=8, interpret=True, fin=fin)
+    assert eng.decode(out) == want
+    # -2 pad sentinel: appended skip steps must not change the result
+    sched_pad = jnp.concatenate([sched, jnp.full((3,), -2, jnp.int32)])
+    out = rns2_pow_sliding_jnp(eng.ctx, eng.encode(xs), sched_pad, 5,
+                               fin=fin)
+    assert eng.decode(out) == want
+    out = rns2_pow_sliding_pallas(eng.ctx, eng.encode(xs), sched_pad, 5,
+                                  block=8, interpret=True, fin=fin)
+    assert eng.decode(out) == want
+
+
+def test_one_plus_mul_residues(eng256):
+    """rns2_one_plus_mul: (1 + x*c) residues, valid while 1 + x*c < M
+    (encryption uses it with x = m < sqrt(N), c = sqrt(N))."""
+    from paillier_tpu.bigint.rns2 import rns2_one_plus_mul
+    n, eng = eng256
+    c = random.getrandbits(128)
+    crow = jnp.asarray(np.asarray(
+        [c % m for m in eng.spec.b1 + eng.spec.b2], dtype=np.int32))
+    xs = [random.getrandbits(120) for _ in range(8)]
+    out = rns2_one_plus_mul(eng.ctx, eng.encode(xs), crow)
+    assert eng.decode(out) == [(1 + x * c) % n for x in xs]
+
+
+def test_encrypt_fused_gm_parity(eng256):
+    """Fused-G^m encryption == unfused RNS kernel == host formula."""
+    import dataclasses
+    from paillier_tpu.core.encrypt import (encrypt_with_r_rns_fused_kernel,
+                                           encrypt_with_r_rns_kernel)
+    from paillier_tpu.core.keygen import keygen
+    from paillier_tpu.core.keys import LEVEL_ONE, decode_batch, encode_batch
+    rng = random.Random(0xF05ED)
+    sk, pk = keygen(128, rng)
+    dk = pk.device()
+    eng = dk.rns(LEVEL_ONE)
+    ms = [rng.randrange(pk.n) for _ in range(4)] + [0, pk.n - 1]
+    rs = [rng.randrange(2, pk.n) for _ in range(len(ms))]
+    m = encode_batch(ms, dk.L)
+    r = encode_batch(rs, 2 * dk.L)
+    nrow = jnp.asarray(np.asarray(
+        [pk.n % mi for mi in eng.spec.b1 + eng.spec.b2], dtype=np.int32))
+    got = decode_batch(encrypt_with_r_rns_fused_kernel(
+        dk, eng, nrow, m, r, pk.n))
+    ref = decode_batch(encrypt_with_r_rns_kernel(
+        dk, eng, m, r, LEVEL_ONE, pk.n))
+    want = [(1 + mi * pk.n) * pow(ri, pk.n, pk.n2) % pk.n2
+            for mi, ri in zip(ms, rs)]
+    assert got == want
+    assert ref == want
+
+
 def test_sliding_schedule_and_jnp_parity(eng256):
     from paillier_tpu.bigint.rns2 import (rns2_pow_sliding_jnp,
                                           sliding_window_schedule)

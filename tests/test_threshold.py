@@ -205,6 +205,30 @@ class TestEndToEnd:
         shares = [partial_decrypt(tkeys[i], c3) for i in (1, 3, 4)]
         assert combine(tpk, shares) == [32]
 
+    def test_partial_decrypt_all_matches_per_server(self, tkeys, rng):
+        """The r5 stacked one-dispatch partial path is bit-identical to
+        t separate partial_decrypt calls (VERDICT r4 #3)."""
+        import numpy as np
+        from paillier_tpu.threshold.decrypt import partial_decrypt_all
+        tpk = tkeys[0].public()
+        enc = Encryptor(tpk, LEVEL_ONE, rng=rng)
+        ms = [rng.randrange(tpk.n) for _ in range(4)]
+        ct = enc.encrypt(ms)
+        subset = [tkeys[0], tkeys[2], tkeys[4]]
+        stacked = partial_decrypt_all(subset, ct)
+        for got, k in zip(stacked, subset):
+            ref = partial_decrypt(k, ct)
+            assert got.id == ref.id
+            assert (np.asarray(got.c) == np.asarray(ref.c)).all()
+        assert combine(tpk, stacked) == ms
+
+    def test_generate_from_primes_rejects_bad_fixtures(self, rng):
+        gen = ThresholdKeyGenerator(18, 3, 2, rng)
+        with pytest.raises(ValueError):
+            gen.generate_from_primes(9, 4, 7, 3)       # 9 not prime
+        with pytest.raises(ValueError):
+            gen.generate_from_primes(11, 4, 7, 3)      # 11 != 2*4+1
+
     def test_below_threshold_fails(self, tkeys, rng):
         tpk = tkeys[0].public()
         enc = Encryptor(tpk, LEVEL_ONE, rng=rng)
