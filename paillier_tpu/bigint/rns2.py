@@ -428,13 +428,31 @@ def _mm_lhs1(ctx: Rns2Context, x, y, lazy: bool):
     return _pack_digits(s1), s2
 
 
+def _ext_split(P, k: int, pk: int):
+    """Split a merged ext dot output into (lo, hi) channel halves.
+
+    Padded layout (pk > k): both slices are 128-aligned — plain slices.
+    Unpadded layout (pk == k with k % 128 != 0): the hi half starts at
+    a non-128-aligned lane offset, which Mosaic rejects as a slice —
+    bring it to lane 0 with a cross-lane rotate instead (pltpu.roll;
+    only ever traced inside Pallas kernels, which are the only callers
+    that build unpadded contexts — see rns2_pow_sliding_pallas)."""
+    if pk == k and (k % 128):
+        from jax.experimental.pallas import tpu as pltpu
+        # jnp.roll semantics: out[i] = P[i - shift], so shift = +k puts
+        # lane k at lane 0 (out[0..k) = P[k..2k))
+        hi = pltpu.roll(P, k, P.ndim - 1)[..., :k]
+        return P[..., :k], hi
+    return P[..., :k], P[..., pk:pk + k]
+
+
 def _mm_ext1(ctx: Rns2Context, lhs1):
     """MXU stage 1: first base extension (B1 -> B2) as ONE merged int8
     dot [.., 2k] x [2k, 2*pk]; both output slices are 128-aligned
     (offsets 0 and pk).  25% faster than the lo/hi dot pair on v5e."""
     k, pk = ctx.k, ctx.pk
     P = _dot_i8(lhs1, ctx.e1g)
-    return P[..., :k], P[..., pk:pk + k]
+    return _ext_split(P, k, pk)
 
 
 def _mm_lhs2(ctx: Rns2Context, P, s2, lazy: bool):
@@ -465,7 +483,7 @@ def _mm_ext2(ctx: Rns2Context, lhs2):
     """MXU stage 2: second base extension (B2 -> B1), one merged dot."""
     k, pk = ctx.k, ctx.pk
     V = _dot_i8(lhs2, ctx.e2g)
-    return V[..., :k], V[..., pk:pk + k]
+    return _ext_split(V, k, pk)
 
 
 def _mm_finish(ctx: Rns2Context, V, sg, lazy: bool):
@@ -685,8 +703,10 @@ def rns2_pow_sliding(ctx: Rns2Context, x, sched, window: int = 6,
     if jax.default_backend() != "cpu":
         from ..config import get_config
         from .pallas_rns2 import rns2_pow_sliding_pallas
+        cfg = get_config()
         return rns2_pow_sliding_pallas(ctx, x, sched, window,
-                                       block=get_config().block, fin=fin)
+                                       block=cfg.block, fin=fin,
+                                       nopad=cfg.nopad_ext)
     return rns2_pow_sliding_jnp(ctx, x, sched, window, fin=fin)
 
 

@@ -39,6 +39,10 @@ class Config:
                    odd-power ladder (the r^(n^s) / c^lambda hot paths).
     block:         Pallas kernel batch block; None = largest block that
                    fits the VMEM budget.
+    nopad_ext:     strip the 128-lane output padding from the merged
+                   base-extension dots in the sliding kernel (fewer MXU
+                   MACs, one pltpu.roll per extension instead of an
+                   aligned slice — see rns2._ext_split).
     mesh_devices:  devices for parallel.mesh.make_mesh(); None = all.
     mesh_servers:  threshold server-axis rows for 2D meshes; None = 1D.
     keygen_timeout: safe-prime search timeout in seconds (the
@@ -51,6 +55,7 @@ class Config:
     window: int = 4
     sliding_window: int = 6
     block: Optional[int] = None
+    nopad_ext: bool = False
     mesh_devices: Optional[int] = None
     mesh_servers: Optional[int] = None
     keygen_timeout: float = 120.0

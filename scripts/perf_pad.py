@@ -136,181 +136,55 @@ def bench_roll():
 
 
 def bench_ladder():
-    """Full sliding-ladder variant with UNPADDED [2k, 2k] ext matrices
-    and pltpu.roll extraction, vs the production padded kernel.
-    Bit-checked against host pow."""
+    """Production sliding kernel, padded vs nopad (rns2._ext_split roll
+    path), same shapes as the enc2048 headline ladder: k=320, w6,
+    4096-bit shared exponent, B=4096, blk=1024.  Bit-checked, then
+    chained-on-device timing for both variants."""
     import random
 
-    from paillier_tpu.bigint.rns2 import (
-        CHUNK, I1_ENTRY, I1_ONE, I2_ENTRY, I2_ONE, Rns2Engine,
-        _mm_lhs1, _mm_lhs2, _mm_finish, _pack_digits, _red_fast, _red_lazy,
-        rns2_mont_mul_pair, sliding_window_schedule)
-    from paillier_tpu.bigint.pallas_rns2 import (VMEM_LIMIT,
-                                                 rns2_pow_sliding_pallas)
+    from paillier_tpu.bigint.pallas_rns2 import rns2_pow_sliding_pallas
+    from paillier_tpu.bigint.rns2 import (Rns2Engine,
+                                          sliding_window_schedule)
 
     rng = random.Random(0xBE7C)
     n = rng.getrandbits(4096) | (1 << 4095) | 1
     eng = Rns2Engine(n)
     ctx = eng.ctx
-    k, pk = ctx.k, ctx.pk
-    print(f"k={k} pk={pk}", flush=True)
-
-    # unpadded ext matrices: [2k, 2k] = lo cols at 0, hi cols at k
-    def unpad(g):
-        g = np.asarray(g)
-        return jnp.asarray(np.concatenate(
-            [g[:, :k], g[:, pk:pk + k]], axis=1))
-
-    e1n = unpad(ctx.e1g)
-    e2n = unpad(ctx.e2g)
-
-    def dot_nopad(lhs, w):
-        p = lax.dot_general(lhs, w, (((lhs.ndim - 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-        hi = pltpu.roll(p, k, 1)[:, :k] if k % 128 else p[:, k:]
-        return p[:, :k], hi
-
-    def mmul_nopad(x, y):
-        lhs1, s2 = _mm_lhs1(ctx, x, y, True)
-        P = dot_nopad(lhs1, e1n)
-        lhs2, sg = _mm_lhs2(ctx, P, s2, True)
-        V = dot_nopad(lhs2, e2n)
-        w1 = _mm_finish(ctx, V, sg, True)
-        return w1, sg
-
-    window = 6
-    B = 1024
-    e = n  # 4096-bit shared exponent (the r^(n^s) shape at 2048-bit keys)
-    sched_host = sliding_window_schedule(e, window)
-    S = len(sched_host) - 1
-    T = 1 << (window - 1)
-
-    def kern(sched_ref, x1_ref, x2_ref, o1_ref, o2_ref, acc1, acc2,
-             tbl1, tbl2):
-        x1 = x1_ref[...]
-        x2 = x2_ref[...]
-
-        def bcast(r1, r2):
-            return (jnp.broadcast_to(r1, x1.shape),
-                    jnp.broadcast_to(r2, x2.shape))
-
-        entry = bcast(ctx.ic1[I1_ENTRY], ctx.ic2[I2_ENTRY])
-        one = bcast(ctx.ic1[I1_ONE], ctx.ic2[I2_ONE])
-        xm = mmul_nopad((x1, x2), entry)
-        xsq = mmul_nopad(xm, xm)
-        cur = xm
-        tbl1[0], tbl2[0] = (cur[0].astype(jnp.int16),
-                            cur[1].astype(jnp.int16))
-        for v in range(1, T):
-            cur = mmul_nopad(cur, xsq)
-            tbl1[v] = cur[0].astype(jnp.int16)
-            tbl2[v] = cur[1].astype(jnp.int16)
-        d0 = sched_ref[0, 0]
-        acc1[...] = tbl1[d0].astype(jnp.int32)
-        acc2[...] = tbl2[d0].astype(jnp.int32)
-
-        def step(i, carry):
-            d = sched_ref[0, i]
-            w = mmul_nopad((acc1[...], acc2[...]), (acc1[...], acc2[...]))
-            acc1[...], acc2[...] = w
-
-            @pl.when(d >= 0)
-            def _():
-                idx = jnp.maximum(d, 0)
-                t = (tbl1[idx].astype(jnp.int32),
-                     tbl2[idx].astype(jnp.int32))
-                w2 = mmul_nopad((acc1[...], acc2[...]), t)
-                acc1[...] = w2[0]
-                acc2[...] = w2[1]
-
-            return carry
-
-        lax.fori_loop(1, S + 1, step, 0)
-        # NOTE: exit multiply stays lazy here; outputs are lazy
-        # residues — fine for a perf ablation (host check reduces mod m)
-        o1, o2 = mmul_nopad((acc1[...], acc2[...]), one)
-        o1_ref[...] = o1
-        o2_ref[...] = o2
-
-    blk = 256
-    xspec = pl.BlockSpec((blk, k), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM)
-    f = pl.pallas_call(
-        kern,
-        grid=(B // blk,),
-        in_specs=[pl.BlockSpec((1, S + 1), lambda b: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  xspec, xspec],
-        out_specs=(xspec, xspec),
-        out_shape=(jax.ShapeDtypeStruct((B, k), jnp.int32),
-                   jax.ShapeDtypeStruct((B, k), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((blk, k), jnp.int32),
-                        pltpu.VMEM((blk, k), jnp.int32),
-                        pltpu.VMEM((T, blk, k), jnp.int16),
-                        pltpu.VMEM((T, blk, k), jnp.int16)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )
-
+    k = ctx.k
+    print(f"k={k} pk={ctx.pk}", flush=True)
+    window, B = 6, 4096
+    e = n >> 2048          # 2048-bit exponent: the r^n production shape
+    sched = jnp.asarray(sliding_window_schedule(e, window))
     xs = [rng.randrange(n) for _ in range(B)]
-    xr = eng.encode(xs)
-    sched = jnp.asarray(sched_host)[None]
-    x1, x2 = jnp.asarray(xr[:, :k]), jnp.asarray(xr[:, k:])
+    xr = jnp.asarray(eng.encode(xs))
 
-    t0 = time.perf_counter()
-    o1, o2 = f(sched, x1, x2)
-    sync((o1, o2))
-    print(f"nopad compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-    # correctness: decode (residues mod each m) vs host pow — lazy
-    # outputs are congruence-correct, so reduce per channel on host
-    got = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=-1)
-    ms_all = np.asarray(eng.spec.b1 + eng.spec.b2)
-    gotc = np.mod(got.astype(np.int64), ms_all[None, :])
-    want_ints = [pow(x, e, n) for x in xs[:4]]
-    want = eng.spec.encode(want_ints)
-    # compare on B1 channels only (B2 sigma form matches encode too)
-    assert (gotc[:4] == np.mod(want, ms_all[None, :])).all(), "WRONG"
-    print("nopad ladder correct (4 spot checks)", flush=True)
+    for nopad in (False, True):
+        t0 = time.perf_counter()
+        out = rns2_pow_sliding_pallas(ctx, xr, sched, window, nopad=nopad)
+        sync(out)
+        print(f"nopad={nopad}: compile+run {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        got = eng.decode(out[:4])
+        want = [pow(x, e, n) for x in xs[:4]]
+        assert got == want, f"nopad={nopad} WRONG"
 
-    def run(a):
-        o1x, o2x = f(sched, a[0], a[1])
-        return (o1x & 0x3FFF, o2x & 0x3FFF)
+        def step(c):
+            o = rns2_pow_sliding_pallas(ctx, c, sched, window,
+                                        nopad=nopad)
+            return (o & 0x1FFF) + 2     # keep values in residue range
 
-    @jax.jit
-    def chain(a):
-        out = lax.fori_loop(0, 4, lambda i, c: run(c), a)
-        return out[0].ravel()[:1]
+        @jax.jit
+        def chain(c):
+            o = lax.fori_loop(0, 4, lambda i, cc: step(cc), c)
+            return o.ravel()[:1]
 
-    sync(chain((x1, x2)))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        sync(chain((x1, x2)))
-    t_nopad = (time.perf_counter() - t0) / (3 * 4)
-    print(f"nopad ladder: {t_nopad*1e3:.1f} ms/iter", flush=True)
-
-    # production padded kernel, same shapes
-    t0 = time.perf_counter()
-    outp = rns2_pow_sliding_pallas(ctx, jnp.asarray(xr),
-                                   jnp.asarray(sched_host), window,
-                                   block=blk)
-    sync(outp)
-    print(f"padded compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-
-    @jax.jit
-    def chainp(a):
-        out = lax.fori_loop(
-            0, 4, lambda i, c: rns2_pow_sliding_pallas(
-                ctx, c, jnp.asarray(sched_host), window,
-                block=blk) % 16384, a)
-        return out.ravel()[:1]
-
-    xj = jnp.asarray(xr)
-    sync(chainp(xj))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        sync(chainp(xj))
-    t_pad = (time.perf_counter() - t0) / (3 * 4)
-    print(f"padded ladder: {t_pad*1e3:.1f} ms/iter "
-          f"(nopad/padded = {t_nopad/t_pad:.3f})", flush=True)
+        sync(chain(xr))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            sync(chain(xr))
+        t = (time.perf_counter() - t0) / 12
+        print(f"nopad={nopad}: {t*1e3:7.1f} ms/ladder "
+              f"({B/t:,.0f} exp/s)", flush=True)
 
 
 if __name__ == "__main__":

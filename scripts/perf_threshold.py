@@ -45,6 +45,7 @@ def profile_threshold():
     from paillier_tpu.threshold.decrypt import (combine, compute_lambda,
                                                 lagrange_powers,
                                                 partial_decrypt,
+                                                partial_decrypt_all,
                                                 verify_partial_decryptions,
                                                 _tree_modmul)
     from paillier_tpu.threshold.keygen import ThresholdKeyGenerator
@@ -65,14 +66,10 @@ def profile_threshold():
     sync(ct.c)
 
     print("threshold flow stages (batch=4096):", flush=True)
-    shares = None
 
-    def do_partials():
-        return [partial_decrypt(keys[i], ct, window) for i in range(t_)]
-
-    shares, t_part = tstage("3x partial_decrypt (sequential)", do_partials)
-    _, t_p1 = tstage("1x partial_decrypt", lambda: partial_decrypt(
-        keys[0], ct, window))
+    shares, t_part = tstage("partial_decrypt_all (stacked)",
+                            lambda: partial_decrypt_all(
+                                keys[:t_], ct, window))
 
     # combine internals
     dk = tpk.device()
@@ -125,7 +122,7 @@ def profile_threshold():
                   lambda: decode_batch(m_arr.reshape((-1, L))))
 
     out, t_flow = tstage("FULL flow (as bench)", lambda: combine(
-        tpk, [partial_decrypt(keys[i], ct, window) for i in range(t_)],
+        tpk, partial_decrypt_all(keys[:t_], ct, window),
         window), warm=0, iters=2)
     assert out == ms
     print(f"  => full flow {batch/t_flow:,.0f} flows/s", flush=True)
