@@ -164,13 +164,58 @@ def lagrange_powers(tpk: ThresholdPublicKey, stacked_c: jnp.ndarray,
     return powed.reshape(S, B, 2 * L)
 
 
+def _combine_products(dk, powed: jnp.ndarray, sel) -> tuple:
+    """Masked positive/negative share products over axis 0 of
+    [S, B, 2L] -> two [B, 2L] limb tensors.
+
+    On the RNS engine the S-way products run as residue multiplies
+    (one int8-MXU Montgomery multiply per tree node) instead of limb
+    Montgomery multiplies — r5 profiling measured the limb tree at
+    474 ms/4096-batch vs ~2 ms in residues (docs/results/r5_ablate.txt,
+    VERDICT r4 #3)."""
+    L = dk.L
+    if dk.use_rns():
+        from ..bigint.rns2 import Rns2Engine
+        eng = dk.rns(1)
+        if isinstance(eng, Rns2Engine):
+            key = ("combine_tree", powed.shape, bool(sel is not None))
+            if key not in dk.jit_cache:
+                def _fn(powed, sel):
+                    from ..bigint.rns2 import I1_ONE, I2_ONE
+                    x = eng.from_limbs(powed)               # [S, B, C]
+                    one = jnp.concatenate([eng.ctx.ic1[I1_ONE],
+                                           eng.ctx.ic2[I2_ONE]])
+                    one = jnp.broadcast_to(one, x.shape)
+                    pos = jnp.where(sel, x, one)
+                    neg = jnp.where(sel, one, x)
+
+                    def tree(v):
+                        while v.shape[0] > 1:
+                            if v.shape[0] % 2:
+                                v = jnp.concatenate(
+                                    [v, one[:1]], axis=0)
+                            v = eng.mul(v[0::2], v[1::2])
+                        return v[0]
+
+                    to_l = lambda v: dk._widen(eng.to_limbs_mod(v), 1)
+                    return to_l(tree(pos)), to_l(tree(neg))
+                dk.jit_cache[key] = jax.jit(_fn)
+            return dk.jit_cache[key](powed, sel)
+    ctx = dk.ctx_n2
+    one_r = jnp.zeros_like(powed).at[..., 0].set(1)
+    pos = _tree_modmul(ctx, jnp.where(sel, powed, one_r))
+    neg = _tree_modmul(ctx, jnp.where(sel, one_r, powed))
+    return pos, neg
+
+
 def combine(tpk: ThresholdPublicKey,
             shares: Sequence[PartialDecryptionBatch],
             window: int = 4) -> List[int]:
     """Merge partial decryptions into plaintexts
     (thresholdkey.go:149-161), batched over ciphertexts AND shares: the
     t Lagrange-weighted powers run as one stacked device ladder, then
-    masked log-depth products give the positive/negative parts."""
+    masked products (residue-space on the RNS engine) give the
+    positive/negative parts."""
     verify_partial_decryptions(tpk, shares)
     dk = tpk.device()
     ctx = dk.ctx_n2
@@ -185,28 +230,46 @@ def combine(tpk: ThresholdPublicKey,
         stacked = jnp.stack([s.c.reshape((-1, 2 * L)) for s, _ in use])
         powed = lagrange_powers(tpk, stacked,
                                 [abs(l2) for _, l2 in use], window)
-        one_r = jnp.zeros_like(powed).at[..., 0].set(1)
         sel = jnp.asarray(np.asarray(
             [l2 > 0 for _, l2 in use]))[:, None, None]
-        pos = _tree_modmul(ctx, jnp.where(sel, powed, one_r))
-        neg = _tree_modmul(ctx, jnp.where(sel, one_r, powed))
+        pos, neg = _combine_products(dk, powed, sel)
         pos = pos.reshape(batch_shape + (2 * L,))
         neg = neg.reshape(batch_shape + (2 * L,))
     else:
         pos = neg = one
 
     # c' = pos * neg^{-1} mod n^2 — one batched inverse via host xgcd
+    # (public operation: no secret exponent exists to Fermat-invert on
+    # device, so the inverse batch round-trips the host by necessity)
     neg_vals = decode_batch(neg.reshape((-1, 2 * L)))
     inv_vals = host.modinv_batch(neg_vals, tpk.n2)
     neg_inv = encode_batch(inv_vals, 2 * L).reshape(neg.shape)
-    cprime = mont.modmul(ctx, pos, neg_inv)
 
-    # m = combineSharesConstant * L(c') mod n (thresholdkey.go:143-146)
-    onew = jnp.zeros_like(cprime).at[..., 0].set(1)
-    um1, _ = vpu.sub(cprime, onew)
-    lval = mont.exact_div(um1, dk.n_hensel_2L, 2 * L)[..., :L]
-    const = jnp.asarray(host.int_to_limbs(tpk.combine_shares_constant, L))
-    m = mont.modmul(dk.ctx_n, lval, jnp.broadcast_to(const, lval.shape))
+    # cprime, L-function and the final constant multiply in one jit
+    # (the limb-domain modmuls here measured 109 ms/4096-batch r5;
+    # cprime rides the RNS engine when available)
+    key = ("combine_tail", pos.shape)
+    if key not in dk.jit_cache:
+        from ..bigint.rns2 import Rns2Engine
+        eng = dk.rns(1) if dk.use_rns() else None
+        use_eng = isinstance(eng, Rns2Engine)
+
+        def _tail(pos, neg_inv):
+            if use_eng:
+                cprime = dk._widen(eng.to_limbs_mod(
+                    eng.mul(eng.from_limbs(pos),
+                            eng.from_limbs(neg_inv))), 1)
+            else:
+                cprime = mont.modmul(ctx, pos, neg_inv)
+            onew = jnp.zeros_like(cprime).at[..., 0].set(1)
+            um1, _ = vpu.sub(cprime, onew)
+            lval = mont.exact_div(um1, dk.n_hensel_2L, 2 * L)[..., :L]
+            const = jnp.asarray(host.int_to_limbs(
+                tpk.combine_shares_constant, L))
+            return mont.modmul(dk.ctx_n, lval,
+                               jnp.broadcast_to(const, lval.shape))
+        dk.jit_cache[key] = jax.jit(_tail)
+    m = dk.jit_cache[key](pos, neg_inv)
     return decode_batch(m.reshape((-1, L)))
 
 

@@ -57,6 +57,25 @@ def test_force_rns_respected_by_auto_dispatch(force_rns, keypair_256):
     assert Encryptor(pk, LEVEL_ONE).engine == "rns"
 
 
+def test_rns_threshold_combine_tree(force_rns, rng):
+    """The r5 residue-space combine products (RNS tree + cprime) are
+    bit-identical to the limb path: full (3,5)-threshold roundtrip with
+    the engine forced on (covers _combine_products' Rns2 branch)."""
+    import random
+    from paillier_tpu.core.encrypt import Encryptor
+    from paillier_tpu.core.keys import LEVEL_ONE
+    from paillier_tpu.threshold.decrypt import combine, partial_decrypt_all
+    from paillier_tpu.threshold.keygen import generate_threshold_keys
+    r = random.Random(0x7E57)
+    keys = generate_threshold_keys(64, 5, 3, r)
+    tpk = keys[0].public()
+    enc = Encryptor(tpk, LEVEL_ONE, rng=r)
+    ms = [r.randrange(tpk.n) for _ in range(5)] + [0, 1]
+    ct = enc.encrypt(ms)
+    shares = partial_decrypt_all([keys[0], keys[2], keys[3]], ct)
+    assert combine(tpk, shares) == ms
+
+
 def test_rns_generic_decrypt_level1(force_rns, keypair_256, rng):
     """decrypt_kernel_rns (generic non-CRT path) on the RNS engine."""
     from paillier_tpu.core.decrypt import Decryptor
