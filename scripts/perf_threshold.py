@@ -23,7 +23,14 @@ from bench import _SAFE_P1024, _SAFE_Q1024  # noqa: E402  (same fixtures)
 
 
 def sync(out):
-    for leaf in jax.tree_util.tree_leaves(out):
+    # NOTE: plain dataclasses (PartialDecryptionBatch) are NOT pytrees —
+    # tree_leaves would yield the object and silently skip the device
+    # sync (r5: the partials stage briefly read as 2.7 ms dispatch-only).
+    # Unwrap known containers to their arrays for the sync only.
+    arrs = out
+    if isinstance(out, (list, tuple)):
+        arrs = [getattr(o, "c", o) for o in out]
+    for leaf in jax.tree_util.tree_leaves(arrs):
         np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
     return out
 

@@ -8,7 +8,8 @@ from paillier_tpu.core import homomorphic as hom
 from paillier_tpu.core.encrypt import nested_encrypt
 from paillier_tpu.core.keygen import keygen
 from paillier_tpu.ops.oracle import go_bytes, oracle_bit, oracle_digest
-from paillier_tpu.zk.ddleq import DDLEQProof, prove, verify
+from paillier_tpu.zk.ddleq import (DDLEQProof, pipeline_prove_verify,
+                                   prove, verify)
 
 SECPAR = 8
 
@@ -45,6 +46,18 @@ class TestDdleq:
         proof = prove(sk, ct1, ct2, a_l, b_l, SECPAR, rng)
         assert proof.secpar == SECPAR
         assert verify(pk, ct1, ct2, proof) == [True] * 3
+
+    def test_pipeline_prove_verify(self, setup):
+        """The 2-deep chunk pipeline (r5 bench path) yields the same
+        verdicts as serial prove+verify, in order."""
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        jobs = [(ct1, ct2, a_l, b_l, random.Random(1000 + i))
+                for i in range(3)]
+        outs = list(pipeline_prove_verify(sk, jobs, SECPAR,
+                                          verify_pk=pk))
+        assert len(outs) == 3
+        for ok in outs:
+            assert ok == [True] * len(ct1.c)
 
     def test_soundness_fresh_ciphertext(self, setup, rng):
         # ddleq_test.go:54-72: proof must not verify against an unrelated
