@@ -45,7 +45,9 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..bigint import host
+from ..bigint import limbmm as lm
 from ..bigint import montgomery as mont
+from ..bigint import vpu
 from ..core import homomorphic as hom
 from ..core.keys import (LEVEL_TWO, Ciphertext, PublicKey, SecretKey,
                          decode_batch, encode_batch)
@@ -136,14 +138,93 @@ def _shard_flat(mesh, dk, stage_name, window, fn, *arrays):
     return dk.jit_cache[key](*arrays)
 
 
+class _CrtN3Plans:
+    """Prover-side CRT split of the per-element n^3 ladders.
+
+    The prover knows p and q, so n^3 = p^3 * q^3 and every per-element
+    modexp mod n^3 can run as TWO half-width ladders (mod p^3 and mod
+    q^3) plus a Garner recombine.  Each half-width Montgomery multiply
+    costs ~(1/2)^2 of the full-width one in MXU MACs and halves the
+    per-digit 2^w-way table select, so the pair costs ~1/2 of the
+    full-width ladder — the "identified next 25-30%" of PERF.md's r5
+    DDLEQ analysis, mirroring core/decrypt.py's level-1 CRT fast path
+    one level up.  The verifier has no factors and keeps the full-width
+    path; proofs are bit-identical either way (same mathematical value).
+
+    reference: ddleq.go:55-127 computes these powers sequentially with
+    libgmp at full width; the split has no counterpart there.
+    """
+
+    def __init__(self, sk: SecretKey, L: int):
+        from ..bigint.engine import make_engine
+        p, q = sk.p, sk.q
+        p3, q3 = p ** 3, q ** 3
+        Lh = host.limbs_for_bits(max(p3.bit_length(), q3.bit_length()))
+        self.Lh, self.L3 = Lh, 3 * L
+        # base mod p^3 / q^3: fold the 3L-wide operand
+        self.fold_p3 = lm.FoldPlan.build(p3, 3 * L)
+        self.fold_q3 = lm.FoldPlan.build(q3, 3 * L)
+        self.br_p3 = lm.BarrettPlan.build(p3)
+        self.br_q3 = lm.BarrettPlan.build(q3)
+        self.eng_p = make_engine(p3, Lh)
+        self.eng_q = make_engine(q3, Lh)
+        # Garner: m = mp + p^3 * ((mq - mp) * (p^3)^{-1} mod q^3).
+        # mp < p^3 may exceed q^3 severalfold (p/q < 2 only bounds the
+        # cube ratio by 8), so mp is folded mod q^3 before the subtract.
+        self.fold_pq = lm.FoldPlan.build(q3, Lh)
+        self.pinv = lm.ModMulConstPlan.build(pow(p3, -1, q3), q3, Lh)
+        self.mul_p3 = lm.ConstMulPlan.build(p3, Lh, 3 * L)
+        self.q3_limbs = jnp.asarray(host.int_to_limbs(q3, Lh))
+
+
+def _crt_pow_n3(pl: _CrtN3Plans, base: jnp.ndarray, digits: jnp.ndarray,
+                window: int = 4) -> jnp.ndarray:
+    """base^e mod n^3 via half-width ladders mod p^3 / q^3 (prover only;
+    ``digits`` is the per-element MSB-first exponent, shared by both
+    halves).  Returns [..., 3L] limbs, exactly the full-width result."""
+    Lh = pl.Lh
+
+    def half(fold, br, eng):
+        bm = lm.fold_mod(base, fold, br)[..., :Lh]
+        u = eng.pow(eng.from_limbs(bm), digits, window)
+        return eng.to_limbs_mod(u)[..., :Lh]
+
+    mp = half(pl.fold_p3, pl.br_p3, pl.eng_p)
+    mq = half(pl.fold_q3, pl.br_q3, pl.eng_q)
+
+    qb = jnp.broadcast_to(pl.q3_limbs, mp.shape)
+    mp_q = lm.fold_mod(mp, pl.fold_pq, pl.br_q3)[..., :Lh]
+    diff, borrow = vpu.sub(mq, mp_q)
+    fixed, _ = vpu.add(diff, qb)
+    diff = jnp.where(borrow[..., None] != 0, fixed, diff)
+    t = lm.modmul_const(diff, pl.pinv, pl.br_q3)
+    pt = lm.const_mul(t, pl.mul_p3)                   # t * p^3 < n^3, exact
+    m, _ = vpu.add(pt, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1)
+                               + [(0, pl.L3 - Lh)]))
+    return m
+
+
+def _crt_plans(sk: SecretKey, dk) -> _CrtN3Plans:
+    """Per-key cached prover CRT plans (the two half-width engines are
+    eager host-side constructions — never build them inside a trace)."""
+    key = ("ddleq_crt_n3", dk.L)
+    if key not in dk.jit_cache:
+        dk.jit_cache[key] = _CrtN3Plans(sk, dk.L)
+    return dk.jit_cache[key]
+
+
 def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
           a_list: Sequence[int], b_list: Sequence[int], secpar: int,
-          rng=None, window: int = 4, mesh=None) -> DDLEQProof:
+          rng=None, window: int = 4, mesh=None,
+          use_crt: bool = True) -> DDLEQProof:
     """ProveDDLEQ (ddleq.go:27-40, 55-127), batched over proofs and
     instances.  Requires the secret key (randomness extraction).
 
     With ``mesh``, the two per-instance device stages (commitments and
-    responses) run sharded over the mesh batch axis."""
+    responses) run sharded over the mesh batch axis.  ``use_crt`` routes
+    the three per-(proof,instance) n^3 ladders through the prover's
+    p^3/q^3 half-width CRT split (bit-identical proofs, ~2x the ladder
+    throughput); the verifier path never depends on it."""
     rng = rng or prand.make_rng()
     if ct1.level != LEVEL_TWO or ct2.level != LEVEL_TWO:
         raise ValueError("DDLEQ operates on level-2 (nested) ciphertexts")
@@ -185,22 +266,33 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     c1_rep = jnp.repeat(c1, S, axis=0)
     c2_rep = jnp.repeat(c2, S, axis=0)
 
+    # prover CRT split for the BS-sized per-element n^3 ladders (built
+    # eagerly: half-width engine construction must precede any trace)
+    crt = _crt_plans(sk, dk) if use_crt else None
+
+    def pow_n3(base, digits):
+        if crt is not None:
+            return _crt_pow_n3(crt, base, digits, 4)
+        return dk.pow(2, base, digits, 4)
+
     def commit_stage(x2, y3, c1r, c2r):
         """x^n, y^(n^2), alpha = ct1^(x^n) * y^(n^2), challenge bits
         (ddleq.go:81-91).  Elementwise over the flat instance axis."""
         xn = dk.pow_int(1, x2, n, window)                 # [., 2L]
         yn2 = dk.pow_int(2, y3, n2, window)               # [., 3L]
         xd = mont.limbs_to_digits(xn, 4)
-        c1x = dk.pow(2, c1r, xd, 4)
+        c1x = pow_n3(c1r, xd)
         alph = mont.modmul(dk.ctx_n3, c1x, yn2)
         ch = _challenge_bits(c2r, x2[..., :L], y3[..., :L], alph)
         return xn, alph, ch
 
+    stage_tag = "crt" if crt is not None else "full"
     if mesh is None:
         xn, alpha, chal = commit_stage(X2, Y3, c1_rep, c2_rep)
     else:
-        xn, alpha, chal = _shard_flat(mesh, dk, "commit", window,
-                                      commit_stage, X2, Y3, c1_rep, c2_rep)
+        xn, alpha, chal = _shard_flat(mesh, dk, "commit-" + stage_tag,
+                                      window, commit_stage,
+                                      X2, Y3, c1_rep, c2_rep)
     sel = (chal != 0)[:, None]
 
     # e = chal ? x * a^{-1} mod n^2 : x (ddleq.go:94-99); a^{-1} is one
@@ -224,9 +316,9 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
         e_out = jnp.where(selb, xa, x2)                   # [., 2L]
         en = dk.pow_int(1, e_out, n, window)              # e^n mod n^2
         ed = mont.limbs_to_digits(en, 4)
-        t_inv_pow = dk.pow(2, ti, ed, 4)                  # t^{-e^n}
+        t_inv_pow = pow_n3(ti, ed)                        # t^{-e^n}
         xd = mont.limbs_to_digits(xnr, 4)
-        s_xn = dk.pow(2, s3r, xd, 4)
+        s_xn = pow_n3(s3r, xd)
         f_true = mont.modmul(dk.ctx_n3,
                              mont.modmul(dk.ctx_n3, y3, s_xn), t_inv_pow)
         f_out = jnp.where(selb, f_true, y3)
@@ -235,8 +327,8 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
     if mesh is None:
         e, f = response_stage(sel, X2, Y3, AI, TI, S3_rep, xn)
     else:
-        e, f = _shard_flat(mesh, dk, "response", window, response_stage,
-                           sel, X2, Y3, AI, TI, S3_rep, xn)
+        e, f = _shard_flat(mesh, dk, "response-" + stage_tag, window,
+                           response_stage, sel, X2, Y3, AI, TI, S3_rep, xn)
 
     shape = lambda a: a.reshape(B, S, a.shape[-1])
     return DDLEQProof(x=shape(X), y=shape(Y), alpha=shape(alpha),

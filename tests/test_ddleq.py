@@ -59,6 +59,21 @@ class TestDdleq:
         for ok in outs:
             assert ok == [True] * len(ct1.c)
 
+    def test_crt_split_bit_identical(self, setup):
+        """The prover's p^3/q^3 CRT split (half-width ladders + Garner
+        recombine) produces bit-identical proofs to the full-width n^3
+        ladders under the same randomness stream, and they verify."""
+        import numpy as np
+        sk, pk, ct1, ct2, a_l, b_l = setup
+        pa = prove(sk, ct1, ct2, a_l, b_l, SECPAR, random.Random(77),
+                   use_crt=True)
+        pb = prove(sk, ct1, ct2, a_l, b_l, SECPAR, random.Random(77),
+                   use_crt=False)
+        for name in ("x", "y", "alpha", "e", "f"):
+            assert np.array_equal(np.asarray(getattr(pa, name)),
+                                  np.asarray(getattr(pb, name))), name
+        assert verify(pk, ct1, ct2, pa) == [True] * 3
+
     def test_soundness_fresh_ciphertext(self, setup, rng):
         # ddleq_test.go:54-72: proof must not verify against an unrelated
         # nested ciphertext
