@@ -175,6 +175,27 @@ class _CrtN3Plans:
         self.pinv = lm.ModMulConstPlan.build(pow(p3, -1, q3), q3, Lh)
         self.mul_p3 = lm.ConstMulPlan.build(p3, Lh, 3 * L)
         self.q3_limbs = jnp.asarray(host.int_to_limbs(q3, Lh))
+        # group orders mod p^3 / q^3: shared HOST exponents reduce mod
+        # these (valid for units — every DDLEQ operand is a unit), so
+        # the shared ladders also drop ~1/4 of their digits
+        self.ord_p = p * p * (p - 1)
+        self.ord_q = q * q * (q - 1)
+
+
+def _crt_combine(pl: _CrtN3Plans, mp: jnp.ndarray,
+                 mq: jnp.ndarray) -> jnp.ndarray:
+    """Garner: m = mp + p^3 * ((mq - mp) * (p^3)^{-1} mod q^3), [..., 3L]."""
+    Lh = pl.Lh
+    qb = jnp.broadcast_to(pl.q3_limbs, mp.shape)
+    mp_q = lm.fold_mod(mp, pl.fold_pq, pl.br_q3)[..., :Lh]
+    diff, borrow = vpu.sub(mq, mp_q)
+    fixed, _ = vpu.add(diff, qb)
+    diff = jnp.where(borrow[..., None] != 0, fixed, diff)
+    t = lm.modmul_const(diff, pl.pinv, pl.br_q3)
+    pt = lm.const_mul(t, pl.mul_p3)                   # t * p^3 < n^3, exact
+    m, _ = vpu.add(pt, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1)
+                               + [(0, pl.L3 - Lh)]))
+    return m
 
 
 def _crt_pow_n3(pl: _CrtN3Plans, base: jnp.ndarray, digits: jnp.ndarray,
@@ -191,17 +212,25 @@ def _crt_pow_n3(pl: _CrtN3Plans, base: jnp.ndarray, digits: jnp.ndarray,
 
     mp = half(pl.fold_p3, pl.br_p3, pl.eng_p)
     mq = half(pl.fold_q3, pl.br_q3, pl.eng_q)
+    return _crt_combine(pl, mp, mq)
 
-    qb = jnp.broadcast_to(pl.q3_limbs, mp.shape)
-    mp_q = lm.fold_mod(mp, pl.fold_pq, pl.br_q3)[..., :Lh]
-    diff, borrow = vpu.sub(mq, mp_q)
-    fixed, _ = vpu.add(diff, qb)
-    diff = jnp.where(borrow[..., None] != 0, fixed, diff)
-    t = lm.modmul_const(diff, pl.pinv, pl.br_q3)
-    pt = lm.const_mul(t, pl.mul_p3)                   # t * p^3 < n^3, exact
-    m, _ = vpu.add(pt, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1)
-                               + [(0, pl.L3 - Lh)]))
-    return m
+
+def _crt_pow_shared_n3(pl: _CrtN3Plans, base: jnp.ndarray,
+                       e_int: int) -> jnp.ndarray:
+    """base^e mod n^3 for a shared host exponent, prover only: half-width
+    ladders AND the exponent reduced mod each group order p^2(p-1) /
+    q^2(q-1) (valid for units; every DDLEQ operand is one), dropping
+    ~1/4 of the ladder digits on top of the width split."""
+    Lh = pl.Lh
+
+    def half(fold, br, eng, ordm):
+        bm = lm.fold_mod(base, fold, br)[..., :Lh]
+        u = eng.pow_shared(eng.from_limbs(bm), e_int % ordm)
+        return eng.to_limbs_mod(u)[..., :Lh]
+
+    mp = half(pl.fold_p3, pl.br_p3, pl.eng_p, pl.ord_p)
+    mq = half(pl.fold_q3, pl.br_q3, pl.eng_q, pl.ord_q)
+    return _crt_combine(pl, mp, mq)
 
 
 def _crt_plans(sk: SecretKey, dk) -> _CrtN3Plans:
@@ -279,7 +308,10 @@ def prove(sk: SecretKey, ct1: Ciphertext, ct2: Ciphertext,
         """x^n, y^(n^2), alpha = ct1^(x^n) * y^(n^2), challenge bits
         (ddleq.go:81-91).  Elementwise over the flat instance axis."""
         xn = dk.pow_int(1, x2, n, window)                 # [., 2L]
-        yn2 = dk.pow_int(2, y3, n2, window)               # [., 3L]
+        if crt is not None:                               # [., 3L]
+            yn2 = _crt_pow_shared_n3(crt, y3, n2)
+        else:
+            yn2 = dk.pow_int(2, y3, n2, window)
         xd = mont.limbs_to_digits(xn, 4)
         c1x = pow_n3(c1r, xd)
         alph = mont.modmul(dk.ctx_n3, c1x, yn2)
